@@ -1,0 +1,461 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.table
+
+/** Relational operator library — the Spark-first re-expression of the
+  * reference's operator inventory (SURVEY.md §2) exercised over the
+  * driver-generated TPC-H-ish testdata so every operator can be
+  * hash-checked against a DuckDB oracle.
+  *
+  * Determinism rules (the driver hash-compares values):
+  *  - money aggregates go through DECIMAL(18,2) (exact, order-independent
+  *    sums) and are surfaced as DOUBLE, which converts identically in
+  *    Spark and DuckDB;
+  *  - no raw timestamps in outputs — formatted to strings;
+  *  - every window ordering / top-k has a unique tie-break key.
+  */
+object RelationalOps {
+
+  private val Dec = DecimalType(18, 2)
+  /** Exact, order-independent sum of a money-like double column. */
+  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+  /** Exact discounted-price sum: cast BOTH factors to decimal before the
+    * multiply so no engine ever rounds a double product (rounding-mode
+    * tie-breaks differ between Java BigDecimal and DuckDB). */
+  private def discSum(price: Column, disc: Column): Column =
+    sum(price.cast(Dec) * (lit(1).cast(Dec) - disc.cast(Dec))).cast("double")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- A6/A8-family aggregation over the fact table (TPC-H Q1 shape) --
+    "q01_agg_pricing" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          discSum(col("l_extendedprice"), col("l_discount"))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- P1/P2/P6/P7: projection + conjunctive predicates, pushed to scan
+    "q02_filter_project" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .filter(col("l_quantity") > 49 && col("l_returnflag") === "R" &&
+          col("l_shipdate").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // ---- A1: whole-row distinct ----------------------------------------
+    "q03_distinct_full" -> ((s, d) =>
+      table(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    // ---- A2/W5: key dedup with deterministic survivor (DISTINCT ON) ----
+    "q04_dedup_keys" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+      table(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    }),
+
+    // ---- A4: per-key column merge (max skips nulls = prefer-non-null) --
+    "q05_group_merge" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          max("o_orderstatus").as("status_merged"),
+          date_format(max("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("latest_order_date"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- A6/J2: history-stats shape — big-big join + min/max/count agg -
+    "q06_history_stats" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+          date_format(min("l_shipdate"), "yyyy-MM-dd").as("first_ship"),
+          date_format(max("l_shipdate"), "yyyy-MM-dd").as("last_ship"),
+          min("l_linenumber").as("min_line"),
+          max("l_linenumber").as("max_line"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- A7/J4: left-outer join + count of matches (0 preserved) -------
+    "q07_left_join_count" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val li = table(s, d, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_outer")
+        .groupBy("o_orderkey")
+        .agg(count(li("l_orderkey")).as("n_items"))
+    }),
+
+    // ---- A8: scalar aggregates -----------------------------------------
+    "q08_scalar_agg" -> ((s, d) => {
+      table(s, d, "orders").agg(
+        max("o_orderkey").as("max_key"),
+        count(lit(1)).as("n_orders"),
+        date_format(min("o_orderdate"), "yyyy-MM-dd").as("first_date"),
+        date_format(max("o_orderdate"), "yyyy-MM-dd").as("last_date"))
+    }),
+
+    // ---- A9: group rows into one value per key (map-pivot analogue) ----
+    "q09_group_concat" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"))
+    }),
+
+    // ---- O2: total-order top-k with offset pagination ------------------
+    "q10_topk_offset" -> ((s, d) => {
+      table(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(10).limit(100)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // ---- J2: big-big equi-join + aggregation ---------------------------
+    "q11_join_agg" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          discSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- J5/J11: dimension-chain join (broadcast both dims) ------------
+    "q12_join_chain" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val n = table(s, d, "nation")
+      val r = table(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("total_bal"))
+    }),
+
+    // ---- J9: left-semi join (presence) ---------------------------------
+    "q13_semi_join" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val o = table(s, d, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- J10: left-anti join (absence / set difference) ----------------
+    "q14_anti_join" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val o = table(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- J11: composite-natural-key lookup join ------------------------
+    "q15_composite_key_join" -> ((s, d) => {
+      val p = table(s, d, "part")
+      val dim = p.groupBy("p_brand", "p_size")
+        .agg(min("p_retailprice").as("min_price"))
+      p.join(broadcast(dim), Seq("p_brand", "p_size"))
+        .filter(col("p_retailprice") === col("min_price"))
+        .select("p_partkey", "p_brand", "p_size")
+    }),
+
+    // ---- J12: left join against a deduped subquery ---------------------
+    "q16_dedup_subquery_join" -> ((s, d) => {
+      val n = table(s, d, "nation")
+      val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+      val top = table(s, d, "customer")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_name"))
+      n.join(top, n("n_nationkey") === top("c_nationkey"), "left_outer")
+        .select(col("n_name"), col("c_custkey"), col("c_name"))
+    }),
+
+    // ---- W2: latest-per-group via window max (currently_visible shape) -
+    "q17_window_latest" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+      table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_shipdate") === max("l_shipdate").over(w)).as("is_latest"))
+    }),
+
+    // ---- W4: next-element-in-timeline via lead -------------------------
+    "q18_window_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      table(s, d, "events")
+        .select(col("event_id"),
+          lead("event_id", 1).over(w).as("next_event_id"))
+    }),
+
+    // ---- W5: per-group top-k via row_number ----------------------------
+    "q19_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      table(s, d, "customer")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("c_nationkey", "c_custkey", "rank")
+    }),
+
+    // ---- set ops: UNION ALL --------------------------------------------
+    "q20_union_all" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val hi = li.filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("key")).withColumn("src", lit("hi"))
+      val lo = li.filter(col("l_quantity") < 5)
+        .select(col("l_orderkey").as("key")).withColumn("src", lit("lo"))
+      hi.unionByName(lo).groupBy("src")
+        .agg(count(lit(1)).as("n"), countDistinct(col("key")).as("n_keys"))
+    }),
+
+    // ---- set ops: INTERSECT --------------------------------------------
+    "q21_intersect" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.intersect(op)
+    }),
+
+    // ---- set ops: EXCEPT -----------------------------------------------
+    "q22_except" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.except(op)
+    }),
+
+    // ---- F1/F2: content-address hashing (md5 + sha2; reference keys
+    //      everything by hash, models.py:57-59 / build_db.py:343-344) ----
+    "q23_hash_funcs" -> ((s, d) => {
+      table(s, d, "customer")
+        .select(col("c_custkey"),
+          md5(col("c_name")).as("name_md5"),
+          sha2(col("c_name"), 256).as("name_sha256"))
+    }),
+
+    // ---- F3/F4/F6: URL synthesis, host extraction, language-from-host --
+    "q24_url_funcs" -> ((s, d) => {
+      table(s, d, "nation")
+        .withColumn("url",
+          concat(lit("https://"),
+            regexp_replace(lower(col("n_name")), "[ _]", "-"),
+            lit(".example.org/w/index.php?curid="), col("n_nationkey")))
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .withColumn("lang", split(col("host"), "\\.").getItem(0))
+        .withColumn("curid", parse_url(col("url"), lit("QUERY"), lit("curid")))
+        .select("n_nationkey", "url", "host", "lang", "curid")
+    }),
+
+    // ---- F5/F7: template-name-style normalization ----------------------
+    "q25_string_norm" -> ((s, d) => {
+      table(s, d, "part")
+        .withColumn("t", trim(regexp_replace(
+          regexp_replace(col("p_name"), "_", " "), "\\s+", " ")))
+        .select(col("p_partkey"),
+          concat(upper(substring(col("t"), 1, 1)), expr("substring(t, 2)"))
+            .as("name_norm"))
+    }),
+
+    // ---- F13: enum -> label map ----------------------------------------
+    "q26_enum_label" -> ((s, d) => {
+      table(s, d, "orders")
+        .withColumn("status_label",
+          when(col("o_orderstatus") === "O", "open")
+            .when(col("o_orderstatus") === "F", "finished")
+            .when(col("o_orderstatus") === "P", "pending")
+            .otherwise("other"))
+        .groupBy("status_label").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- time-bucketed aggregation (streaming-shaped, batch form) ------
+    // ts is a long of nanoseconds (Tables.table) — exact integer bucketing.
+    "q28_time_bucket" -> ((s, d) => {
+      val nsPerHour = 3600L * 1000 * 1000 * 1000
+      table(s, d, "events")
+        .withColumn("hour", date_format(
+          timestamp_seconds(expr(s"ts div $nsPerHour") * 3600L),
+          "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
+    // ---- sessionization: gaps-and-islands over the event stream --------
+    "q29_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val gapNs = 1800L * 1000 * 1000 * 1000
+      table(s, d, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 49 AND l_returnflag = 'R' AND l_shipdate IS NOT NULL""",
+    "q03_distinct_full" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q04_dedup_keys" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM (
+           SELECT l_orderkey, l_linenumber, l_partkey,
+                  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+           FROM lineitem) WHERE rn = 1""",
+    "q05_group_merge" ->
+      """SELECT o_custkey, max(o_orderstatus) AS status_merged,
+         strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS latest_order_date,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_custkey""",
+    "q06_history_stats" ->
+      """SELECT o_orderkey,
+         strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+         strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
+         min(l_linenumber) AS min_line, max(l_linenumber) AS max_line,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey""",
+    "q07_left_join_count" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items
+         FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey""",
+    "q08_scalar_agg" ->
+      """SELECT max(o_orderkey) AS max_key, count(*) AS n_orders,
+         strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+         FROM orders""",
+    "q09_group_concat" ->
+      """SELECT o_orderpriority,
+         string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+         FROM orders GROUP BY o_orderpriority""",
+    "q10_topk_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100 OFFSET 10""",
+    "q11_join_agg" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+    "q12_join_chain" ->
+      """SELECT r_name, count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q13_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q15_composite_key_join" ->
+      """SELECT p_partkey, p.p_brand, p.p_size
+         FROM part p
+         JOIN (SELECT p_brand, p_size, min(p_retailprice) AS min_price
+               FROM part GROUP BY p_brand, p_size) d
+           ON p.p_brand = d.p_brand AND p.p_size = d.p_size
+         WHERE p.p_retailprice = d.min_price""",
+    "q16_dedup_subquery_join" ->
+      """SELECT n_name, c_custkey, c_name
+         FROM nation LEFT JOIN (
+           SELECT c_nationkey, c_custkey, c_name FROM (
+             SELECT c_nationkey, c_custkey, c_name,
+                    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+             FROM customer) WHERE rn = 1) t
+         ON n_nationkey = t.c_nationkey""",
+    "q17_window_latest" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_shipdate = max(l_shipdate) OVER (PARTITION BY l_orderkey) AS is_latest
+         FROM lineitem""",
+    "q18_window_lead" ->
+      """SELECT event_id,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event_id
+         FROM events""",
+    "q19_window_topk" ->
+      """SELECT c_nationkey, c_custkey, rank FROM (
+           SELECT c_nationkey, c_custkey,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+           FROM customer) WHERE rank <= 3""",
+    "q20_union_all" ->
+      """SELECT src, count(*) AS n, count(DISTINCT key) AS n_keys FROM (
+           SELECT l_orderkey AS key, 'hi' AS src FROM lineitem WHERE l_quantity > 45
+           UNION ALL
+           SELECT l_orderkey AS key, 'lo' AS src FROM lineitem WHERE l_quantity < 5)
+         GROUP BY src""",
+    "q21_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q22_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q23_hash_funcs" ->
+      """SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+         FROM customer""",
+    "q24_url_funcs" ->
+      """SELECT n_nationkey, url,
+         regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+         split_part(regexp_extract(url, 'https?://([^/]+)', 1), '.', 1) AS lang,
+         regexp_extract(url, 'curid=([0-9]+)', 1) AS curid
+         FROM (SELECT n_nationkey,
+                 'https://' || replace(replace(lower(n_name), ' ', '-'), '_', '-') ||
+                 '.example.org/w/index.php?curid=' || n_nationkey AS url
+               FROM nation)""",
+    "q25_string_norm" ->
+      """SELECT p_partkey,
+         upper(substr(t, 1, 1)) || substr(t, 2) AS name_norm
+         FROM (SELECT p_partkey,
+                 trim(regexp_replace(replace(p_name, '_', ' '), '\s+', ' ', 'g')) AS t
+               FROM part)""",
+    "q26_enum_label" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                WHEN 'P' THEN 'pending' ELSE 'other' END AS status_label,
+         count(*) AS n
+         FROM orders GROUP BY 1""",
+    "q28_time_bucket" ->
+      """SELECT strftime(make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000),
+                         '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q29_sessionize" ->
+      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+         FROM (
+           SELECT user_id,
+                  CASE WHEN prev_ts IS NULL
+                            OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+                 FROM events))
+         GROUP BY user_id"""
+  )
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle and hash-compare per query.
+
+Usage: python3 tools/validate.py [sfdir] [outdir]
+(Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first.)
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import hashlib
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    df = df.sort_values(by=list(df.columns), na_position="first")
+    return df.reset_index(drop=True)
+
+
+def h(df: pd.DataFrame) -> str:
+    return hashlib.md5(
+        df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(OUT)
+                   if os.path.isdir(os.path.join(OUT, d)))
+    n_pass = n_fail = n_noora = 0
+    for name in names:
+        files = glob.glob(f"{OUT}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no result parquet")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in files])
+        if name not in oracle:
+            print(f"ROWS {name}: rows={len(got)} (no oracle)")
+            n_noora += 1
+            continue
+        try:
+            want = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        g, w = norm(got), norm(want)
+        if sorted(g.columns) != sorted(w.columns):
+            print(f"FAIL {name}: cols spark={sorted(g.columns)} oracle={sorted(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(w)}")
+            n_fail += 1
+            continue
+        if h(g) != h(w):
+            print(f"FAIL {name}: hash mismatch ({len(g)} rows)")
+            merged = g.compare(w) if g.shape == w.shape else None
+            if merged is not None and not merged.empty:
+                print(merged.head(5))
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(g)} rows)")
+        n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_noora} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
