@@ -18,8 +18,10 @@ object SparkEntry {
     RelationalOps.queries("q01_agg_pricing")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalOps.queries
+    RelationalOps.queries ++ TextOps.queries ++ VectorOps.queries ++
+      MultimodalOps.queries
 
   def oracleSql: Map[String, String] =
-    RelationalOps.oracle
+    RelationalOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
+      MultimodalOps.oracle
 }

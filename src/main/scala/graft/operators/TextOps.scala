@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** Text-analysis + deduplication operators for large-scale training-data
+  * pipelines, exercised over the `documents` table: exact dedup,
+  * bag-of-words fingerprinting, MinHash signatures + LSH banding with
+  * candidate-pair generation, n-gram Jaccard, language-ID heuristics,
+  * quality scoring and token statistics.
+  *
+  * Everything here is expressed with codegen'd built-ins (no UDFs): the
+  * tokenize/shingle/minhash chain is `split`/`transform`/`md5`/`min`, so
+  * Catalyst sees through the whole pipeline and the shuffles are only the
+  * per-doc groupBys and the LSH band self-join.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokenize into non-empty lowercase word array. */
+  private def words(c: Column): Column =
+    filter(split(lower(c), " "), w => w =!= "")
+
+  /** 3-word shingles (requires >= 3 tokens; callers filter). */
+  private val shinglesExpr =
+    "transform(sequence(0, size(tokens) - 3), i -> concat_ws(' ', slice(tokens, i + 1, 3)))"
+
+  /** Per-doc exploded shingle rows: (doc_id, shingle). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .withColumn("tokens", words(col("text")))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+
+  /** MinHash signature: 4 independent hash slots via seed-suffixed md5.
+    * min() over content-hashes is order-independent and shuffle-free up to
+    * the per-doc partial aggregation (map-side combine). */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(col("shingle"), lit("#0")))).as("sig0"),
+        min(md5(concat(col("shingle"), lit("#1")))).as("sig1"),
+        min(md5(concat(col("shingle"), lit("#2")))).as("sig2"),
+        min(md5(concat(col("shingle"), lit("#3")))).as("sig3"))
+
+  private val stop = Seq("the", "a", "of", "and", "to")
+
+  val queries: Map[String, Q] = Map(
+    // ---- P5/F11: regex predicate over document text --------------------
+    "q27_regexp_filter" -> ((s, d) => {
+      table(s, d, "documents")
+        .filter(col("text").rlike("hash (join|agg)"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- exact dedup: content-hash distinct counts ---------------------
+    "q30_dedup_exact" -> ((s, d) => {
+      val w = words(col("text"))
+      table(s, d, "documents")
+        .withColumn("bow",
+          md5(concat_ws(" ", array_sort(array_distinct(w)))))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique_text"),
+          countDistinct(col("bow")).as("n_unique_bow"))
+    }),
+
+    // ---- A2-style key dedup on documents (deterministic survivor) ------
+    "q31_dedup_by_key" -> ((s, d) => {
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      table(s, d, "documents")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // ---- token counting: whitespace + regex tokenizers -----------------
+    "q32_token_stats" -> ((s, d) => {
+      table(s, d, "documents")
+        .withColumn("ws_tokens", size(words(col("text"))))
+        .withColumn("re_tokens", regexp_count(col("text"), lit("[a-z]+")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("sum_ws_tokens"),
+          sum("re_tokens").as("sum_re_tokens"),
+          sum("n_chars").as("total_chars"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+    }),
+
+    // ---- quality scoring: lexical-diversity + stopword metrics ---------
+    "q33_quality_score" -> ((s, d) => {
+      table(s, d, "documents")
+        .withColumn("tokens", words(col("text")))
+        .withColumn("n_words", size(col("tokens")))
+        .withColumn("n_unique", size(array_distinct(col("tokens"))))
+        .withColumn("n_stop", size(filter(col("tokens"),
+          w => w.isInCollection(stop))))
+        .select(
+          col("doc_id"), col("n_words"), col("n_unique"),
+          round(col("n_unique").cast("double") / col("n_words"), 6)
+            .as("unique_ratio"),
+          round(col("n_stop").cast("double") / col("n_words"), 6)
+            .as("stopword_ratio"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double")
+            / col("n_words"), 6).as("avg_word_len"))
+    }),
+
+    // ---- language-ID heuristic: marker-word chain ----------------------
+    "q34_lang_id" -> ((s, d) => {
+      val t = col("text")
+      table(s, d, "documents")
+        .withColumn("predicted",
+          when(t.rlike("\\bthe\\b") && t.rlike("\\band\\b"), "en")
+            .when(t.rlike("\\bder\\b") || t.rlike("\\bund\\b"), "de")
+            .when(t.rlike("\\bel\\b") || t.rlike("\\blos\\b"), "es")
+            .when(t.rlike("\\ble\\b") || t.rlike("\\bles\\b"), "fr")
+            .otherwise("und"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- document fingerprint: sorted bag-of-words content hash --------
+    "q35_fingerprint_bow" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(words(col("text"))))))
+            .as("fingerprint"))
+    }),
+
+    // ---- MinHash signatures over 3-word shingles -----------------------
+    "q36_minhash_sig" -> ((s, d) => minhashSigs(s, d)),
+
+    // ---- LSH banding: candidate near-dup pairs -------------------------
+    // Two bands of two slots; docs sharing either band become candidates.
+    // The band self-join is the only shuffle that grows with collisions.
+    "q37_lsh_pairs" -> ((s, d) => {
+      // Unpivot the two bands into (band_id, band) rows, then generate
+      // candidate pairs INSIDE each band bucket (groupBy + collect_list +
+      // pair expansion) instead of a self-join: the expensive
+      // shingle->minhash pipeline runs exactly once, and the only shuffle
+      // is by band key. Bucket sizes are tiny for honest signatures; a
+      // degenerate hot bucket is quadratic under any strategy and would be
+      // capped upstream at production scale.
+      minhashSigs(s, d)
+        .select(col("doc_id"), explode(map(
+          lit(0), md5(concat(col("sig0"), col("sig1"))),
+          lit(1), md5(concat(col("sig2"), col("sig3")))))
+          .as(Seq("band_id", "band")))
+        .groupBy("band_id", "band")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+               transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+                 struct(x AS a_id, y AS b_id))))""")).as("p"))
+        .select(col("p.a_id"), col("p.b_id"))
+        .distinct()
+    }),
+
+    // ---- n-gram Jaccard similarity on candidate pairs ------------------
+    "q38_jaccard_pairs" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), array_sort(array_distinct(words(col("text"))))
+          .as("wset"))
+      val a = docs.select(col("doc_id").as("a_id"), col("wset").as("a_set"))
+      val b = docs.select(col("doc_id").as("b_id"), col("wset").as("b_set"))
+      a.join(b, col("a_id") + 1 === col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(
+            size(array_intersect(col("a_set"), col("b_set"))).cast("double")
+              / size(array_union(col("a_set"), col("b_set"))), 6)
+            .as("jaccard"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q27_regexp_filter" ->
+      """SELECT lang, count(*) AS n FROM documents
+         WHERE regexp_matches(text, 'hash (join|agg)') GROUP BY lang""",
+    "q30_dedup_exact" ->
+      """SELECT count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_unique_text,
+         count(DISTINCT md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' '))) AS n_unique_bow
+         FROM documents""",
+    "q31_dedup_by_key" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+           SELECT doc_id, lang, source, n_chars,
+                  row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1""",
+    "q32_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS sum_ws_tokens,
+         sum(len(regexp_extract_all(text, '[a-z]+'))) AS sum_re_tokens,
+         sum(n_chars) AS total_chars,
+         CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+         FROM documents GROUP BY lang""",
+    "q33_quality_score" ->
+      """SELECT doc_id, n_words, n_unique,
+         round(CAST(n_unique AS DOUBLE) / n_words, 6) AS unique_ratio,
+         round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+         round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_words, 6) AS avg_word_len
+         FROM (
+           SELECT doc_id, text,
+                  len(tokens) AS n_words,
+                  len(list_distinct(tokens)) AS n_unique,
+                  len(list_filter(tokens, w -> w IN ('the','a','of','and','to'))) AS n_stop
+           FROM (SELECT doc_id, text,
+                   list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+                 FROM documents))""",
+    "q34_lang_id" ->
+      """SELECT lang, CASE
+           WHEN regexp_matches(text, '\bthe\b') AND regexp_matches(text, '\band\b') THEN 'en'
+           WHEN regexp_matches(text, '\bder\b') OR regexp_matches(text, '\bund\b') THEN 'de'
+           WHEN regexp_matches(text, '\bel\b') OR regexp_matches(text, '\blos\b') THEN 'es'
+           WHEN regexp_matches(text, '\ble\b') OR regexp_matches(text, '\bles\b') THEN 'fr'
+           ELSE 'und' END AS predicted,
+         count(*) AS n
+         FROM documents GROUP BY 1, 2""",
+    "q35_fingerprint_bow" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' ')) AS fingerprint
+         FROM documents""",
+    "q36_minhash_sig" ->
+      """SELECT doc_id,
+         min(md5(shingle || '#0')) AS sig0, min(md5(shingle || '#1')) AS sig1,
+         min(md5(shingle || '#2')) AS sig2, min(md5(shingle || '#3')) AS sig3
+         FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 2),
+             i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' '))) AS shingle
+           FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+                 FROM documents)
+           WHERE len(tokens) >= 3)
+         GROUP BY doc_id""",
+    "q37_lsh_pairs" ->
+      """WITH sigs AS (
+           SELECT doc_id,
+             md5(min(md5(shingle || '#0')) || min(md5(shingle || '#1'))) AS b0,
+             md5(min(md5(shingle || '#2')) || min(md5(shingle || '#3'))) AS b1
+           FROM (
+             SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 2),
+               i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' '))) AS shingle
+             FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+                   FROM documents)
+             WHERE len(tokens) >= 3)
+           GROUP BY doc_id)
+         SELECT DISTINCT a_id, b_id FROM (
+           SELECT l.doc_id AS a_id, r.doc_id AS b_id
+           FROM sigs l JOIN sigs r ON l.b0 = r.b0 AND l.doc_id < r.doc_id
+           UNION ALL
+           SELECT l.doc_id AS a_id, r.doc_id AS b_id
+           FROM sigs l JOIN sigs r ON l.b1 = r.b1 AND l.doc_id < r.doc_id)""",
+    "q38_jaccard_pairs" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.wset, b.wset))), 6) AS jaccard
+         FROM (SELECT doc_id, list_sort(list_distinct(
+                 list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS wset
+               FROM documents) a
+         JOIN (SELECT doc_id, list_sort(list_distinct(
+                 list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS wset
+               FROM documents) b
+           ON a.doc_id + 1 = b.doc_id"""
+  )
+}

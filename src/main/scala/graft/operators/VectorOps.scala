@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * Dot products / norms are computed with `zip_with` + `aggregate` in
+  * double precision — sequential left-to-right accumulation that matches
+  * DuckDB's `list_cosine_similarity` bit-for-bit, so the oracle can
+  * hash-compare rounded similarities.
+  *
+  * Scale path: the brute-force top-k crossJoin broadcasts the (tiny) query
+  * side, so at cluster scale it's a map-only pass over the big table
+  * followed by a TakeOrdered — no shuffle of the embedding data.
+  */
+object VectorOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sequential double dot product of two float arrays. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def norm(a: String): Column = sqrt(dot(a, a))
+
+  val queries: Map[String, Q] = Map(
+    // ---- brute-force cosine top-k against a query vector ---------------
+    "q40_cosine_topk" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dot("embedding", "qvec") / (norm("embedding") * norm("qvec")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
+    // ---- vector norms + per-label stats --------------------------------
+    "q41_vector_norms" -> ((s, d) => {
+      table(s, d, "embeddings")
+        .select(col("label"), round(norm("embedding"), 6).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          // exact decimal sum of rounded norms -> order-independent avg
+          (sum(col("nrm").cast("decimal(18,6)")).cast("double")
+            / count(lit(1))).as("avg_norm"),
+          round(min("nrm"), 6).as("min_norm"),
+          round(max("nrm"), 6).as("max_norm"))
+    }),
+
+    // ---- all-pairs near-duplicate detection by cosine (block on label) -
+    // Embedding-cosine near-dup: restrict the quadratic pair space to
+    // same-label blocks (the IVF-style coarse partition), then threshold.
+    "q42_cosine_neardup" -> ((s, d) => {
+      // Precompute each vector's norm once (map-side, before the join) so
+      // the quadratic pair stage does ONE dot product per pair, not three.
+      val e = table(s, d, "embeddings")
+        .select(col("label"), col("vec_id"), col("embedding"),
+          norm("embedding").as("nrm"))
+      val a = e.select(col("label"), col("vec_id").as("a_id"),
+        col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+      val b = e.select(col("label"), col("vec_id").as("b_id"),
+        col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+      a.join(b, "label").filter(col("a_id") < col("b_id"))
+        .select(col("label"), col("a_id"), col("b_id"),
+          round(dot("a_vec", "b_vec") / (col("a_nrm") * col("b_nrm")), 6)
+            .as("cosine"))
+        .filter(col("cosine") > 0.5)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      """SELECT vec_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+         FROM embeddings WHERE vec_id <> 0
+         ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+    "q41_vector_norms" ->
+      """SELECT label, count(*) AS n,
+         CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_norm,
+         round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+         FROM (SELECT label,
+                 round(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * x))), 6) AS nrm
+               FROM embeddings)
+         GROUP BY label""",
+    "q42_cosine_neardup" ->
+      """SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) > 0.5"""
+  )
+}
