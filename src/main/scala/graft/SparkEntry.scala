@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ VectorOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++ WikitextOps.queries
 
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
-      MultimodalOps.oracle
+      MultimodalOps.oracle ++ WikitextOps.oracle
 }

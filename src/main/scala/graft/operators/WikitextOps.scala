@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.pipeline.CitationPipeline
+import graft.queries.CitationQueries
+import graft.sources.Revision
+
+/** Driver-facing exercise of the wikitext pipeline (U1/U2 + S1-shaped
+  * data + the dedup/query stack) over the testdata: each `documents` row
+  * becomes a 2-revision page whose wikitext embeds one `<ref>` citation
+  * and one standalone URL. Extraction counts are then exact functions of
+  * `count(documents)`, so the DuckDB oracle can hash-check the whole
+  * extract→normalize→dedup pipeline without being able to run it.
+  */
+object WikitextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Two synthetic revisions per document; doc text is word-salad (no
+    * wiki markup), so the only extractable constructs are the ones we
+    * plant. */
+  def syntheticRevisions(s: SparkSession, d: String): Dataset[Revision] = {
+    import s.implicits._
+    table(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ref = s"<ref name=r$id>{{Cite web |url=https://example.org/$id" +
+          s" |title=Doc $id}}</ref>"
+        val snippet = text.take(120)
+        Seq(
+          Revision(id.toInt, Some(0), id * 10 + 1, None,
+            "2020-01-01 00:00:00", s"Intro. $ref $snippet"),
+          Revision(id.toInt, Some(0), id * 10 + 2, Some(id * 10 + 1),
+            "2020-02-01 00:00:00",
+            s"Intro. $ref $snippet See https://example.org/extra/$id"))
+      }
+  }
+
+  private def dedupedTables(s: SparkSession, d: String) =
+    CitationPipeline.dedup(
+      CitationPipeline.stagingTables(syntheticRevisions(s, d)))
+
+  val queries: Map[String, Q] = Map(
+    // ---- U1/U2/S1/A1/A2 end-to-end: pipeline table cardinalities ------
+    // Per document: 1 shared <ref> across both revisions + 1 standalone
+    // URL in rev 2 → 2 citation instances, 2 normalized citations,
+    // 3 history rows, 2 revisions, 2 ncwr rows, 2 template params,
+    // 3 web_resources (curid + ref URL + standalone URL); plus the
+    // 2 global domains and 1 wiki_template.
+    "q45_wikitext_pipeline" -> ((s, d) => {
+      val t = dedupedTables(s, d)
+      def n(name: String, as: String) =
+        t(name).agg(count(lit(1)).as(as))
+      n("citation_instances", "n_instances")
+        .crossJoin(n("normalized_citations", "n_normalized"))
+        .crossJoin(n("citation_histories", "n_histories"))
+        .crossJoin(n("revisions", "n_revisions"))
+        .crossJoin(n("ncwr", "n_ncwr"))
+        .crossJoin(n("template_data", "n_template_data"))
+        .crossJoin(n("web_resources", "n_web_resources"))
+        .crossJoin(n("domains", "n_domains"))
+        .crossJoin(n("wiki_templates", "n_wiki_templates"))
+    }),
+
+    // ---- §3.2 serving query over the synthetic corpus (rows-only:
+    // sha1 output is not DuckDB-expressible) ----------------------------
+    "q46_citations_at_revision" -> ((s, d) => {
+      val t = dedupedTables(s, d)
+      CitationQueries.citationsAtRevision(
+        t("citation_instances"), t("normalized_citations"),
+        t("citation_histories"), t("revisions"),
+        pageId = 7, revisionId = Some(72L))
+    }),
+
+    // ---- U1 at scale: normalize across the corpus, group by shape ----
+    // (rows-only: normalization itself is the system under test).
+    "q47_normalize_stats" -> ((s, d) => {
+      import s.implicits._
+      CitationPipeline.extractRefs(syntheticRevisions(s, d))
+        .groupBy(col("referenceType").as("reference_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("referenceNormalized")).as("n_distinct_norm"),
+          avg(length(col("referenceNormalized"))).as("avg_norm_len"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q45_wikitext_pipeline" ->
+      """SELECT count(*)*2 AS n_instances, count(*)*2 AS n_normalized,
+         count(*)*3 AS n_histories, count(*)*2 AS n_revisions,
+         count(*)*2 AS n_ncwr, count(*)*2 AS n_template_data,
+         count(*)*3 AS n_web_resources,
+         2 AS n_domains, 1 AS n_wiki_templates
+         FROM documents"""
+  )
+}

@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStream, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+import com.github.luben.zstd.ZstdInputStream
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One MediaWiki revision from a `.mwrev.zst` bundle
+  * (line protocol per build_db.py:222-276). `revisionTimestamp` is the
+  * normalized string form — ISO-8601 with `T`/`Z` stripped
+  * (build_db.py:258) — which orders lexicographically as time.
+  */
+final case class Revision(
+    pageId: Int,
+    namespaceId: Option[Int],
+    revisionId: Long,
+    parentRevisionId: Option[Long],
+    revisionTimestamp: String,
+    revisionText: String)
+
+/** S1: streaming scan of `.mwrev.zst` revision bundles.
+  *
+  * Protocol (build_db.py:222-276): `#`-prefixed lines carry `k=v`
+  * metadata (`page_id`, `ns`, `rev_id`, `parent_rev_id` possibly empty,
+  * `timestamp`); lines starting with a single space are revision text
+  * (the space is stripped); all other lines are ignored.
+  *
+  * Spark shape: one zstd stream is not splittable, so one bundle file =
+  * one task (matching the reference's process-per-file parallelism,
+  * build_all.py:125-129). `binaryFiles` hands each task a lazy
+  * `PortableDataStream`; decode is a streaming iterator — constant
+  * memory regardless of bundle size, which is what lets this run over
+  * thousands of multi-GB bundles on a cluster.
+  */
+object MwRevZst {
+
+  def read(spark: SparkSession, path: String): Dataset[Revision] = {
+    import spark.implicits._
+    spark.sparkContext
+      .binaryFiles(path)
+      .flatMap { case (_, pds) => parse(pds.open()) }
+      .toDS()
+  }
+
+  /** Streaming parse of one decompressed bundle. */
+  def parse(in: InputStream): Iterator[Revision] = {
+    val reader = new BufferedReader(new InputStreamReader(
+      new ZstdInputStream(in), StandardCharsets.UTF_8))
+    new Iterator[Revision] {
+      private var pending: Option[Revision] = None
+      private var current: Option[(Map[String, String])] = None
+      private val textLines = scala.collection.mutable.ArrayBuffer.empty[String]
+      private var done = false
+
+      private def flush(): Option[Revision] =
+        current.map { meta =>
+          val rev = toRevision(meta, textLines.mkString("\n"))
+          current = None
+          textLines.clear()
+          rev
+        }
+
+      private def advance(): Unit = {
+        while (pending.isEmpty && !done) {
+          val line = reader.readLine()
+          if (line == null) {
+            done = true
+            pending = flush()
+            reader.close()
+          } else if (line.startsWith("#")) {
+            val flushed = flush()
+            current = Some(parseMeta(line.substring(1).trim))
+            pending = flushed
+          } else if (line.startsWith(" ")) {
+            textLines += line.substring(1)
+          } // else: ignored line
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); pending.isDefined }
+      override def next(): Revision = {
+        advance()
+        val r = pending.get
+        pending = None
+        r
+      }
+    }
+  }
+
+  private def parseMeta(metaLine: String): Map[String, String] =
+    metaLine.split("\\s+").iterator
+      .filter(_.contains("="))
+      .map { p =>
+        val Array(k, v) = p.split("=", 2)
+        k.trim -> v.trim
+      }.toMap
+
+  private def toRevision(meta: Map[String, String], text: String): Revision =
+    Revision(
+      pageId = meta.get("page_id").filter(_.nonEmpty).map(_.toInt).getOrElse(0),
+      namespaceId = meta.get("ns").filter(_.nonEmpty).map(_.toInt),
+      revisionId = meta.get("rev_id").filter(_.nonEmpty).map(_.toLong)
+        .getOrElse(0L),
+      parentRevisionId =
+        meta.get("parent_rev_id").filter(_.nonEmpty).map(_.toLong),
+      revisionTimestamp = meta.getOrElse("timestamp", "")
+        .replace("T", " ").replace("Z", ""),
+      revisionText = text)
+}
