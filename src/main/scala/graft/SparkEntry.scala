@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ VectorOps.queries ++
-      MultimodalOps.queries ++ WikitextOps.queries
+      MultimodalOps.queries ++ WikitextOps.queries ++
+      graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
-      MultimodalOps.oracle ++ WikitextOps.oracle
+      MultimodalOps.oracle ++ WikitextOps.oracle ++
+      graft.streaming.StreamingOps.oracle
 }

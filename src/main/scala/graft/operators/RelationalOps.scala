@@ -294,6 +294,28 @@ object RelationalOps {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     }),
 
+    // ---- A4/A5/U3: prefer-non-null merge + coalesce upsert -------------
+    // "Existing" (F orders) and "delta" (O orders) each reduce to the
+    // last non-null value per customer (max_by over a null-masked order
+    // key = deterministic last(ignoreNulls)); the full-outer coalesce
+    // never overwrites an existing non-null with an incoming null —
+    // exactly the reference's ON CONFLICT COALESCE-merge upsert.
+    "q51_merge_nonnull" -> ((s, d) => {
+      val o = table(s, d, "orders")
+        .withColumn("v", nullif(col("o_orderpriority"), lit("5-LOW")))
+      def lastNonNull(df: DataFrame, as: String) =
+        df.groupBy("o_custkey").agg(
+          max_by(col("v"), when(col("v").isNotNull, col("o_orderkey")))
+            .as(as))
+      val existing = lastNonNull(o.filter(col("o_orderstatus") === "F"),
+        "v_exist")
+      val delta = lastNonNull(o.filter(col("o_orderstatus") === "O"),
+        "v_delta")
+      existing.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("v_delta"), col("v_exist")).as("merged"))
+    }),
+
     // ---- sessionization: gaps-and-islands over the event stream --------
     "q29_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("event_id")
@@ -447,6 +469,22 @@ object RelationalOps {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q51_merge_nonnull" ->
+      """WITH src AS (
+           SELECT o_custkey, o_orderkey, o_orderstatus,
+                  nullif(o_orderpriority, '5-LOW') AS v
+           FROM orders),
+         e AS (SELECT o_custkey,
+                 arg_max(v, CASE WHEN v IS NOT NULL THEN o_orderkey END)
+                   AS v_exist
+               FROM src WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+         d AS (SELECT o_custkey,
+                 arg_max(v, CASE WHEN v IS NOT NULL THEN o_orderkey END)
+                   AS v_delta
+               FROM src WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+         SELECT coalesce(e.o_custkey, d.o_custkey) AS o_custkey,
+                coalesce(d.v_delta, e.v_exist) AS merged
+         FROM e FULL OUTER JOIN d ON e.o_custkey = d.o_custkey""",
     "q29_sessionize" ->
       """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
          FROM (

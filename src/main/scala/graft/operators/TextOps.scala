@@ -161,6 +161,34 @@ object TextOps {
         .distinct()
     }),
 
+    // ---- SimHash: 16-bit sign-of-sums signature ------------------------
+    // bit i = sign of sum over tokens of ±1 by the high bit of the i-th
+    // hex digit of md5(token). Near-dup docs agree on most bits; exact
+    // grouping on the short signature is the candidate generator.
+    // Explode+sum keeps everything in whole-stage codegen; the only
+    // shuffle is the per-doc aggregation (map-side combined).
+    "q48_simhash" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val sums = (1 to 16).map(i =>
+        sum(when(substring(col("h"), i, 1) >= "8", 1).otherwise(-1))
+          .as(s"b$i"))
+      toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          concat((1 to 16).map(i =>
+            when(col(s"b$i") > 0, "1").otherwise("0")): _*).as("simhash"))
+    }),
+
+    // ---- rolling-hash document fingerprint (winnowing-style min) -------
+    "q50_rolling_fingerprint" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          array_min(expr(
+            """transform(sequence(1, greatest(length(text) - 7, 1)),
+               i -> md5(substring(text, i, 8)))""")).as("fp"))
+    }),
+
     // ---- n-gram Jaccard similarity on candidate pairs ------------------
     "q38_jaccard_pairs" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -256,6 +284,20 @@ object TextOps {
            UNION ALL
            SELECT l.doc_id AS a_id, r.doc_id AS b_id
            FROM sigs l JOIN sigs r ON l.b1 = r.b1 AND l.doc_id < r.doc_id)""",
+    "q48_simhash" -> {
+      val bits = (1 to 16).map(i =>
+        s"CASE WHEN sum(CASE WHEN substr(md5(tok), $i, 1) >= '8' THEN 1" +
+          " ELSE -1 END) > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""SELECT doc_id, $bits AS simhash FROM (
+            SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+              w -> w <> '')) AS tok FROM documents)
+          GROUP BY doc_id"""
+    },
+    "q50_rolling_fingerprint" ->
+      """SELECT doc_id,
+         list_min(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+           i -> md5(substr(text, i, 8)))) AS fp
+         FROM documents""",
     "q38_jaccard_pairs" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)

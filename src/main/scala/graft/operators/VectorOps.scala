@@ -26,7 +26,7 @@ object VectorOps {
 
   private def norm(a: String): Column = sqrt(dot(a, a))
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = lshQueries ++ Map(
     // ---- brute-force cosine top-k against a query vector ---------------
     "q40_cosine_topk" -> ((s, d) => {
       val e = table(s, d, "embeddings")
@@ -75,7 +75,42 @@ object VectorOps {
     })
   )
 
+  /** Random-hyperplane LSH bucket id: sign bits of 4 dot products with
+    * deterministic pseudo-hyperplanes w(j,k) = (j*31+k*17)%7-3. */
+  private def lshBucket =
+    """concat_ws('', transform(sequence(1, 4), j ->
+         CASE WHEN aggregate(
+           zip_with(embedding,
+             transform(sequence(1, size(embedding)),
+               k -> CAST((j*31 + k*17) % 7 - 3 AS DOUBLE)),
+             (x, w) -> CAST(x AS DOUBLE) * w),
+           CAST(0 AS DOUBLE), (a, v) -> a + v) > 0
+         THEN '1' ELSE '0' END))"""
+
+  lazy val lshQueries: Map[String, Q] = Map(
+    // ---- LSH-bucketed ANN: the scale path for similarity search --------
+    // Buckets are computed map-side (no shuffle); at cluster scale the
+    // search fans out to one bucket (plus neighbors for recall), turning
+    // the O(n) brute-force scan into an O(n/2^bits) probe.
+    "q49_lsh_buckets" -> ((s, d) => {
+      table(s, d, "embeddings")
+        .withColumn("bucket", expr(lshBucket))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"),
+          max("vec_id").as("max_vec"))
+    }))
+
   val oracle: Map[String, String] = Map(
+    "q49_lsh_buckets" ->
+      """SELECT bucket, count(*) AS n, min(vec_id) AS min_vec,
+         max(vec_id) AS max_vec FROM (
+           SELECT vec_id, array_to_string(list_transform([1,2,3,4], j ->
+             CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+               list_transform(range(1, len(embedding) + 1),
+                 k -> CAST((j*31 + k*17) % 7 - 3 AS DOUBLE))) > 0
+             THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings)
+         GROUP BY bucket""",
     "q40_cosine_topk" ->
       """SELECT vec_id,
          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

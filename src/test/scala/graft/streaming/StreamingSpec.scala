@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming operators: stream-vs-batch equivalence for the windowed
+  * aggregation and dedup (same data, same answer), and
+  * flatMapGroupsWithState sessionization over controlled microbatches.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("streaming-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stream windowed agg == batch windowed agg") {
+    val streamed = StreamingOps.windowedAgg(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val nsPerHour = 3600L * 1000 * 1000 * 1000
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("hour", date_format(
+        timestamp_seconds(expr(s"ts div $nsPerHour") * 3600L),
+        "yyyy-MM-dd HH:mm:ss"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming dedup == batch distinct") {
+    val streamed = StreamingOps.streamingDedup(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState sessionization across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ns = 1000L * 1000 * 1000 // 1s in ns
+    val gapNs = 1800 * ns
+
+    def ev(user: Long, sec: Long) =
+      SessionEvent(user, sec * ns, new Timestamp(sec * 1000))
+
+    val input = MemoryStream[SessionEvent]
+    val sessions = Sessionize.sessions(
+      input.toDS().withWatermark("eventTime", "0 seconds"), gapNs)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").trigger(Trigger.ProcessingTime(0)).start()
+
+    // Batch 1: two events 10s apart — one open session for user 1.
+    // (t=1000 not t=0: an event at the initial watermark is "late".)
+    input.addData(ev(1, 1000), ev(1, 1010))
+    q.processAllAvailable()
+    // Batch 2: event at t=4000s (gap 2990s > 1800s) closes session 1.
+    input.addData(ev(1, 4000))
+    q.processAllAvailable()
+    // Batches 3+4: far-future data advances the watermark past user 1's
+    // gap deadline; the EventTimeTimeout then closes session 2.
+    input.addData(ev(2, 100000))
+    q.processAllAvailable()
+    input.addData(ev(2, 100001))
+    q.processAllAvailable()
+
+    val out = spark.table("sessions_out").as[Session].collect()
+      .sortBy(_.startTs)
+    q.stop()
+
+    assert(out.length == 2)
+    assert(out(0) == Session(1, 1000 * ns, 1010 * ns, 2)) // closed by gap
+    assert(out(1) == Session(1, 4000 * ns, 4000 * ns, 1)) // by timeout
+  }
+}
