@@ -7,10 +7,10 @@ import graft.Tables.table
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64).
   *
-  * Dot products / norms are computed with `zip_with` + `aggregate` in
-  * double precision — sequential left-to-right accumulation that matches
-  * DuckDB's `list_cosine_similarity` bit-for-bit, so the oracle can
-  * hash-compare rounded similarities.
+  * Dot products / norms use the native codegen'd `array_dot` expression
+  * (graft.functions.ArrayDot) — double-precision sequential
+  * accumulation that matches DuckDB's `list_cosine_similarity`
+  * bit-for-bit, so the oracle can hash-compare rounded similarities.
   *
   * Scale path: the brute-force top-k crossJoin broadcasts the (tiny) query
   * side, so at cluster scale it's a map-only pass over the big table
@@ -20,15 +20,25 @@ object VectorOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Sequential double dot product of two float arrays. */
+  /** Sequential double dot product of two float arrays via the native
+    * codegen'd ArrayDot expression (graft.functions) — bit-identical to
+    * the `aggregate(zip_with(...))` formulation it replaces, minus the
+    * per-row intermediate array and lambda evaluation. */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    expr(s"array_dot($a, $b)")
 
   private def norm(a: String): Column = sqrt(dot(a, a))
 
+  /** Queries using `dot`/`norm` must run on a session with array_dot
+    * registered; registration is idempotent. */
+  private def withFns(s: SparkSession): SparkSession = {
+    graft.functions.GraftFunctions.register(s); s
+  }
+
   val queries: Map[String, Q] = lshQueries ++ Map(
     // ---- brute-force cosine top-k against a query vector ---------------
-    "q40_cosine_topk" -> ((s, d) => {
+    "q40_cosine_topk" -> ((s0, d) => {
+      val s = withFns(s0)
       val e = table(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))
@@ -42,7 +52,8 @@ object VectorOps {
     }),
 
     // ---- vector norms + per-label stats --------------------------------
-    "q41_vector_norms" -> ((s, d) => {
+    "q41_vector_norms" -> ((s0, d) => {
+      val s = withFns(s0)
       table(s, d, "embeddings")
         .select(col("label"), round(norm("embedding"), 6).as("nrm"))
         .groupBy("label")
@@ -57,7 +68,8 @@ object VectorOps {
     // ---- all-pairs near-duplicate detection by cosine (block on label) -
     // Embedding-cosine near-dup: restrict the quadratic pair space to
     // same-label blocks (the IVF-style coarse partition), then threshold.
-    "q42_cosine_neardup" -> ((s, d) => {
+    "q42_cosine_neardup" -> ((s0, d) => {
+      val s = withFns(s0)
       // Precompute each vector's norm once (map-side, before the join) so
       // the quadratic pair stage does ONE dot product per pair, not three.
       val e = table(s, d, "embeddings")

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native array_dot expression: interpreted vs codegen parity with the
+  * `aggregate(zip_with(...))` built-in formulation, null handling, and
+  * both registration paths (extensions + imperative).
+  */
+class ArrayDotSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions) // injection path
+    .appName("arraydot-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("matches aggregate(zip_with) bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.3f, 0.2f, 0.1f)))
+      .toDF("a", "b")
+      .select(
+        expr("array_dot(a, b)").as("native"),
+        expr("""aggregate(zip_with(a, b,
+            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("builtin"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // exact, not approx
+    }
+  }
+
+  test("null input yields null; known value") {
+    val r = spark.sql(
+      """SELECT array_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+                          array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d,
+                array_dot(CAST(null AS ARRAY<FLOAT>),
+                          array(CAST(1 AS FLOAT))) AS n""").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1))
+  }
+
+  test("imperative registration on a plain session") {
+    val plain = spark.newSession()
+    GraftFunctions.register(plain)
+    assert(plain.sql(
+      "SELECT array_dot(array(CAST(2 AS FLOAT)), array(CAST(8 AS FLOAT)))")
+      .head().getDouble(0) == 16.0)
+  }
+
+  test("survives codegen in a wider plan (per-row loop, many rows)") {
+    import spark.implicits._
+    val n = 1000
+    val df = (0 until n).map(i => (i.toLong,
+        Array.tabulate(64)(k => (i + k) * 0.25f),
+        Array.tabulate(64)(k => (k - i) * 0.5f)))
+      .toDF("id", "a", "b")
+      .select(col("id"), expr("array_dot(a, b)").as("d"),
+        expr("""aggregate(zip_with(a, b,
+            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("ref"))
+    assert(df.filter(col("d") =!= col("ref")).count() == 0)
+  }
+}
