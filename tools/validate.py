@@ -40,8 +40,9 @@ def main():
     names = sorted(d for d in os.listdir(OUT)
                    if os.path.isdir(os.path.join(OUT, d)))
     n_pass = n_fail = n_noora = 0
-    for name in names:
-        files = glob.glob(f"{OUT}/{name}/*.parquet")
+    for dirname in names:
+        name = dirname.removesuffix(".parquet")
+        files = glob.glob(f"{OUT}/{dirname}/*.parquet")
         if not files:
             print(f"FAIL {name}: no result parquet")
             n_fail += 1
