@@ -62,7 +62,79 @@ object MultimodalOps {
       }(enc)
   }
 
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  private val framesSchema = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_hash", StringType)))
+
+  /** Frame sampling: one row per sampled frame (UDTF shape — flatMap
+    * inside mapPartitions). Frame count comes from the stub decode;
+    * each "frame" is a 64-byte window at a 32-byte stride, identified
+    * by its content hash. A real video decoder slots into the same
+    * batch loop. */
+  def frames(s: SparkSession, d: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(framesSchema)
+    assets(s, d).select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (_, _, nFrames) = decodeStub(payload)
+          (0 until nFrames).iterator.map { i =>
+            val from = math.min(i * 32, payload.length)
+            val until = math.min(from + 64, payload.length)
+            Row(id, i, md5Hex(payload.slice(from, until)))
+          }
+        }
+      }(enc)
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Feature extraction: fixed-width float vector per asset (the shape
+    * an image/audio embedding model produces). Stub: 8 exact-in-float
+    * values ascii(byte at k*7)/128. */
+  def features(s: SparkSession, d: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    assets(s, d).select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val f = Array.tabulate(8) { k =>
+            val pos = k * 7
+            val c = if (pos < payload.length) payload(pos) & 0x7f else 0
+            c.toFloat / 128f
+          }
+          Row(r.getLong(0), f)
+        }
+      }(enc)
+  }
+
   val queries: Map[String, Q] = Map(
+    // ---- frame sampling over binary payloads (mapPartitions UDTF) ------
+    "q54_frame_sample" -> ((s, d) => frames(s, d)),
+
+    // ---- feature-extract + native array_dot norm -----------------------
+    "q55_feature_norm" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      features(s, d).select(col("asset_id"),
+        round(sqrt(expr("array_dot(feature, feature)")), 6).as("nrm"))
+    }),
+
+    // ---- resize metadata (thumbnail fit, integer math) -----------------
+    "q56_resize_meta" -> ((s, d) => {
+      decoded(s, d).select(col("asset_id"), col("width"), col("height"),
+        lit(128).as("out_w"),
+        floor((col("height") * 128) / col("width")).cast("int").as("out_h"))
+    }),
     // ---- binary payload + metadata extraction (stubbed decode) ---------
     // Expressed relationally so the oracle can check the metadata math the
     // stub uses; the mapPartitions path is covered by MultimodalSpec.
@@ -87,6 +159,26 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q54_frame_sample" ->
+      """SELECT doc_id AS asset_id,
+         CAST(unnest(range(0, 1 + n_chars % 7)) AS INTEGER) AS frame_idx,
+         unnest(list_transform(range(0, 1 + n_chars % 7),
+           i -> md5(substr(text, CAST(i AS INTEGER) * 32 + 1, 64))))
+           AS frame_hash
+         FROM documents""",
+    "q55_feature_norm" ->
+      """SELECT doc_id AS asset_id,
+         round(sqrt(list_dot_product(f, f)), 6) AS nrm
+         FROM (SELECT doc_id, list_transform(range(0, 8),
+                 k -> ascii(substr(text, CAST(k AS INTEGER) * 7 + 1, 1)) / 128.0) AS f
+               FROM documents)""",
+    "q56_resize_meta" ->
+      """SELECT doc_id AS asset_id, width, height, 128 AS out_w,
+         CAST(floor((height * 128) / width) AS INTEGER) AS out_h
+         FROM (SELECT doc_id, 64 + n_bytes % 577 AS width,
+                 64 + (n_bytes * 31) % 577 AS height
+               FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes
+                     FROM documents))""",
     "q43_binary_meta" ->
       """SELECT doc_id, n_bytes,
          64 + n_bytes % 577 AS width,
