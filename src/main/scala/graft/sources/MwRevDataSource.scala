@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for `.mwrev.zst` revision bundles — the "polish" form
+  * of S1 (SURVEY.md §2.1/§7.3): `spark.read.format("mwrev").load(glob)`.
+  *
+  * One bundle file = one InputPartition (a zstd stream is not
+  * splittable). Implements column pruning: when `revision_text` is not
+  * in the required schema the reader never accumulates text lines —
+  * metadata-only scans (counts, timelines) skip ~95% of the decode
+  * work.
+  */
+class MwRevDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "mwrev"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MwRevDataSource.schema
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MwRevTable(properties.asScala.toMap)
+}
+
+object MwRevDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("page_id", IntegerType),
+    StructField("namespace_id", IntegerType),
+    StructField("revision_id", LongType),
+    StructField("parent_revision_id", LongType),
+    StructField("revision_timestamp", StringType),
+    StructField("revision_text", StringType)))
+}
+
+private class MwRevTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"mwrev(${properties.getOrElse("path", "?")})"
+
+  override def schema(): StructType = MwRevDataSource.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new MwRevScanBuilder(options.asScala.getOrElse("path",
+      properties.getOrElse("path", sys.error("mwrev: no path given"))))
+}
+
+private class MwRevScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = MwRevDataSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new MwRevScan(path, required)
+}
+
+private class MwRevScan(path: String, required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, new Configuration())
+    val statuses = Option(fs.globStatus(p))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    val files = statuses.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".mwrev.zst"))
+      else Seq(st)
+    }
+    files.map(st => MwRevPartition(st.getPath.toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MwRevReaderFactory(required.fieldNames)
+}
+
+private case class MwRevPartition(file: String) extends InputPartition
+
+private class MwRevReaderFactory(columns: Array[String])
+    extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[MwRevPartition].file
+    new MwRevPartitionReader(file, columns)
+  }
+}
+
+private class MwRevPartitionReader(file: String, columns: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val wantText = columns.contains("revision_text")
+  private val p = new Path(file)
+  private val in = FileSystem.get(p.toUri, new Configuration()).open(p)
+  private val revisions: Iterator[Revision] =
+    if (wantText) MwRevZst.parse(in)
+    else MwRevZst.parseMetaOnly(in)
+  private var current: Revision = _
+
+  override def next(): Boolean = {
+    if (revisions.hasNext) { current = revisions.next(); true }
+    else false
+  }
+
+  override def get(): InternalRow = {
+    val values = columns.map {
+      case "page_id" => current.pageId
+      case "namespace_id" => current.namespaceId.map(Int.box).orNull
+      case "revision_id" => current.revisionId
+      case "parent_revision_id" =>
+        current.parentRevisionId.map(Long.box).orNull
+      case "revision_timestamp" =>
+        UTF8String.fromString(current.revisionTimestamp)
+      case "revision_text" => UTF8String.fromString(current.revisionText)
+      case other => sys.error(s"mwrev: unknown column $other")
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = in.close()
+}

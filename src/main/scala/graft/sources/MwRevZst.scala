@@ -44,7 +44,15 @@ object MwRevZst {
   }
 
   /** Streaming parse of one decompressed bundle. */
-  def parse(in: InputStream): Iterator[Revision] = {
+  def parse(in: InputStream): Iterator[Revision] = parseImpl(in, true)
+
+  /** Metadata-only parse: text lines are skipped, `revisionText` is ""
+    * — backs column-pruned scans in the V2 source. */
+  def parseMetaOnly(in: InputStream): Iterator[Revision] =
+    parseImpl(in, false)
+
+  private def parseImpl(
+      in: InputStream, keepText: Boolean): Iterator[Revision] = {
     val reader = new BufferedReader(new InputStreamReader(
       new ZstdInputStream(in), StandardCharsets.UTF_8))
     new Iterator[Revision] {
@@ -73,7 +81,7 @@ object MwRevZst {
             current = Some(parseMeta(line.substring(1).trim))
             pending = flushed
           } else if (line.startsWith(" ")) {
-            textLines += line.substring(1)
+            if (keepText) textLines += line.substring(1)
           } // else: ignored line
         }
       }

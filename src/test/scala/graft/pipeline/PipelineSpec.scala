@@ -186,6 +186,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/_staged_refs").count() == 5)
   }
 
+  test("DataSource V2: format(\"mwrev\") reads bundles") {
+    val df = spark.read.format("mwrev").load(s"$bundleDir/*.mwrev.zst")
+    assert(df.count() == 4)
+    val r = df.orderBy("revision_id").head()
+    assert(r.getAs[Int]("page_id") == 100)
+    assert(r.getAs[Long]("revision_id") == 1001L)
+    assert(r.getAs[String]("revision_timestamp") == "2020-01-01 00:00:00")
+    assert(r.getAs[String]("revision_text").contains("<ref name=a>"))
+    // Parity with the mapPartitions source.
+    val v1 = MwRevZst.read(spark, s"$bundleDir/*.mwrev.zst")
+      .select("revisionId", "pageId").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).toSet
+    val v2 = df.select("revision_id", "page_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).toSet
+    assert(v1 == v2)
+  }
+
+  test("DataSource V2: column pruning skips text accumulation") {
+    val pruned = spark.read.format("mwrev").load(s"$bundleDir/*.mwrev.zst")
+      .select("page_id", "revision_id")
+    // Physical scan schema must not include revision_text.
+    val scanSchema = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.schema.fieldNames.toSet
+    assert(scanSchema == Set("page_id", "revision_id"))
+    assert(pruned.collect().length == 4)
+  }
+
   test("parse_url HOST pinned vs urlparse netloc (F3 caveat)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{parse_url, lit, col}
