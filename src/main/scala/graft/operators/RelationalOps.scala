@@ -316,6 +316,44 @@ object RelationalOps {
           coalesce(col("v_delta"), col("v_exist")).as("merged"))
     }),
 
+    // ---- skew handling: two-phase salted aggregation -------------------
+    // The hot-key pattern for 100 TB: pre-aggregate on (key, salt) so a
+    // skewed key fans out over `salt` reducers, then combine partials.
+    // Result is identical to the direct groupBy (the oracle is the
+    // plain aggregation) — only the shuffle distribution changes.
+    "q57_salted_agg" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(col("l_quantity").cast(Dec)).as("part_qty"),
+          count(lit(1)).as("part_n"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("part_qty")).cast("double").as("sum_qty"),
+          sum(col("part_n")).as("n"))
+    }),
+
+    // ---- rollup / cube: hierarchical + full subtotal reporting ---------
+    "q58_rollup" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+    "q59_cube" -> ((s, d) => {
+      table(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum(col("o_totalprice")).as("total"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- approx distinct (HLL sketch; rows-only — approximations are
+    // engine-specific). ApproxSpec bounds the error vs exact. ----------
+    "q60_approx_distinct" -> ((s, d) => {
+      table(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        countDistinct("l_orderkey").as("exact_orders"))
+    }),
+
     // ---- sessionization: gaps-and-islands over the event stream --------
     "q29_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("event_id")
@@ -469,6 +507,21 @@ object RelationalOps {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q57_salted_agg" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q58_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q59_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q51_merge_nonnull" ->
       """WITH src AS (
            SELECT o_custkey, o_orderkey, o_orderstatus,
