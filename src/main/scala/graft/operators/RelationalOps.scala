@@ -354,6 +354,25 @@ object RelationalOps {
         countDistinct("l_orderkey").as("exact_orders"))
     }),
 
+    // ---- spark.sql surface: TPC-H Q3-shaped ANSI SQL over temp views --
+    "q61_sql_api" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem").foreach(t =>
+        table(s, d, t).createOrReplaceTempView(t))
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10""")
+    }),
+
     // ---- sessionization: gaps-and-islands over the event stream --------
     "q29_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("event_id")
@@ -507,6 +526,19 @@ object RelationalOps {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q61_sql_api" ->
+      """SELECT o_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey ASC
+         LIMIT 10""",
     "q57_salted_agg" ->
       """SELECT l_returnflag,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
