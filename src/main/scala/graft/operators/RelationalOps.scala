@@ -354,6 +354,28 @@ object RelationalOps {
         countDistinct("l_orderkey").as("exact_orders"))
     }),
 
+    // ---- six-table star join (TPC-H Q5 shape): local-supplier revenue
+    // by nation. Dims broadcast; the lineitem⋈orders⋈(customer,supplier)
+    // chain is the only shuffled work.
+    "q62_star_join" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val o = table(s, d, "orders")
+      val li = table(s, d, "lineitem")
+      val su = table(s, d, "supplier")
+      val n = table(s, d, "nation")
+      val r = table(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") =!= "EUROPE")
+        .groupBy("n_name")
+        .agg(discSum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
     // ---- spark.sql surface: TPC-H Q3-shaped ANSI SQL over temp views --
     "q61_sql_api" -> ((s, d) => {
       Seq("customer", "orders", "lineitem").foreach(t =>
@@ -526,6 +548,21 @@ object RelationalOps {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q62_star_join" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                       AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name <> 'EUROPE'
+         GROUP BY n_name""",
     "q61_sql_api" ->
       """SELECT o_orderkey,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

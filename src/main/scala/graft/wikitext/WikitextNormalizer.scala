@@ -275,8 +275,10 @@ object WikitextNormalizer {
       val lower = s.toLowerCase
       val close = lower.indexOf("</ref>", gt + 1)
       if (close < 0) {
-        val content = normalizeInner(s.substring(gt + 1)).trim
-        (s"$head>$content</ref>", s.length)
+        // Unclosed ref: malformed input — pass the tag head through
+        // verbatim (synthesizing a close would change semantics and
+        // break idempotence) and keep scanning after it.
+        (s.substring(start, gt + 1), gt + 1)
       } else {
         val content = normalizeInner(s.substring(gt + 1, close)).trim
         (s"$head>$content</ref>", close + "</ref>".length)

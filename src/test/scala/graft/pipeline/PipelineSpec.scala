@@ -79,6 +79,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(revs(1).parentRevisionId.contains(1001L))
   }
 
+  test("source tolerates malformed lines and missing metadata") {
+    val messy =
+      "garbage line ignored\n" +
+        "# page_id=7 ns=0 rev_id=70 parent_rev_id= timestamp=2020-01-01T00:00:00Z\n" +
+        " text a\n" +
+        "not-prefixed, ignored\n" +
+        "# rev_id=71 timestamp= bogus noequals\n" +
+        " text b\n"
+    val revs = MwRevZst
+      .parse(new ByteArrayInputStream(zstBytes(messy))).toSeq
+    assert(revs.size == 2)
+    assert(revs.head.revisionText == "text a")
+    // Missing page_id defaults; empty timestamp survives as "".
+    assert(revs(1).pageId == 0)
+    assert(revs(1).revisionId == 71L)
+    assert(revs(1).revisionTimestamp == "")
+  }
+
   test("deduped staging tables match FIXTURES.md expectations") {
     assert(tables("revisions").count() == 4)
     assert(tables("citation_instances").count() == 3)

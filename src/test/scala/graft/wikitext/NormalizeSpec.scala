@@ -111,6 +111,21 @@ This is a crazy guy citation.
     outputs.foreach(o => assert(n(o) == o))
   }
 
+  test("fuzz: pathological bracket/pipe soup neither crashes nor hangs") {
+    val rng = new scala.util.Random(42)
+    val alphabet = Array("{{", "}}", "[[", "]]", "[", "]", "|", "=",
+      "<ref", "</ref>", "<ref ", "/>", ">", "<nowiki>", "</nowiki>",
+      "<!--", "-->", "a", " ", "\n", "*", "#", "http://x.y")
+    (1 to 200).foreach { _ =>
+      val s = Seq.fill(60)(alphabet(rng.nextInt(alphabet.length))).mkString
+      val t0 = System.nanoTime()
+      val out = n(s)
+      assert(out != null)
+      assert(n(out) == out, s"not idempotent for fuzz input: $s")
+      assert(System.nanoTime() - t0 < 2e9, s"too slow on: $s")
+    }
+  }
+
   test("idempotence property: normalize(normalize(x)) == normalize(x)") {
     val atoms = Seq("{{cite web|url=http://x.org|title=T}}",
       "{{ Flag | USA }}", "<ref name=a>text</ref>", "[[A_b|c]]",
