@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,7 +58,8 @@ private class MwRevTable(properties: Map[String, String])
   override def schema(): StructType = MwRevDataSource.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -83,23 +85,70 @@ private class MwRevScan(path: String, required: StructType)
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private[sources] def listFiles(): Seq[String] = {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, new Configuration())
     val statuses = Option(fs.globStatus(p))
       .map(_.toSeq).getOrElse(Seq.empty)
-    val files = statuses.flatMap { st =>
+    statuses.flatMap { st =>
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".mwrev.zst"))
       else Seq(st)
-    }
-    files.map(st => MwRevPartition(st.getPath.toString): InputPartition)
-      .toArray
+    }.map(_.getPath.toString).sorted
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    listFiles().map(f => MwRevPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MwRevReaderFactory(required.fieldNames)
+
+  /** Streaming ingestion of a bundle directory — the Structured
+    * Streaming replacement for the reference's DONE.txt bookkeeping
+    * (SURVEY.md §2.10): the offset is a position in the sorted file
+    * list, so each newly arrived bundle is processed exactly once;
+    * `Trigger.AvailableNow` + checkpoint gives resumable batch runs. */
+  override def toMicroBatchStream(checkpoint: String): MicroBatchStream =
+    new MwRevMicroBatchStream(this)
+}
+
+private case class MwRevOffset(fileCount: Int) extends Offset {
+  override def json(): String = fileCount.toString
+}
+
+private class MwRevMicroBatchStream(scan: MwRevScan)
+    extends MicroBatchStream {
+
+  // Snapshot the listing per latestOffset poll; files are processed in
+  // sorted order, new arrivals extend the tail.
+  @volatile private var files: Vector[String] = Vector.empty
+
+  override def latestOffset(): Offset = {
+    files = scan.listFiles().toVector
+    MwRevOffset(files.size)
+  }
+
+  override def initialOffset(): Offset = MwRevOffset(0)
+
+  override def deserializeOffset(json: String): Offset =
+    MwRevOffset(json.trim.toInt)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[MwRevOffset].fileCount
+    val until = end.asInstanceOf[MwRevOffset].fileCount
+    if (files.size < until) files = scan.listFiles().toVector
+    files.slice(from, until)
+      .map(f => MwRevPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MwRevReaderFactory(scan.readSchema().fieldNames)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 private case class MwRevPartition(file: String) extends InputPartition

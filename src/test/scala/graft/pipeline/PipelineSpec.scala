@@ -231,6 +231,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.collect().length == 4)
   }
 
+  test("DataSource V2: streaming ingestion of the bundle directory") {
+    import org.apache.spark.sql.streaming.Trigger
+    val streamed = spark.readStream.format("mwrev")
+      .load(s"$bundleDir/*.mwrev.zst")
+    val q = streamed.writeStream.outputMode("append").format("memory")
+      .queryName("mwrev_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("mwrev_stream")
+    assert(rows.count() == 4)
+    assert(rows.select("revision_id").collect().map(_.getLong(0)).toSet ==
+      Set(1001L, 1002L, 1003L, 2001L))
+  }
+
   test("parse_url HOST pinned vs urlparse netloc (F3 caveat)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{parse_url, lit, col}
