@@ -54,6 +54,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("incremental pipeline: new bundles ingested exactly once") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    import com.github.luben.zstd.ZstdOutputStream
+
+    val bundles = Files.createTempDirectory("inc-bundles").toFile
+    val out = Files.createTempDirectory("inc-out").toFile.getAbsolutePath
+    def writeBundle(name: String, pageId: Int, revId: Long): Unit = {
+      val text =
+        s"# page_id=$pageId ns=0 rev_id=$revId parent_rev_id= " +
+          s"timestamp=2021-01-01T00:00:00Z\n" +
+          s" X <ref name=n$pageId>{{Cite web |url=https://e.org/$pageId" +
+          s" |title=T}}</ref>\n"
+      val z = new ZstdOutputStream(new java.io.FileOutputStream(
+        new java.io.File(bundles, name)))
+      z.write(text.getBytes(StandardCharsets.UTF_8))
+      z.close()
+    }
+
+    val glob = s"${bundles.getAbsolutePath}/*.mwrev.zst"
+    writeBundle("a.mwrev.zst", 1, 10L)
+    StreamingPipeline.ingestAvailable(spark, glob, out)
+    assert(spark.read.parquet(s"$out/_staged_refs").count() == 1)
+
+    // Re-run with no new data: nothing re-ingested.
+    StreamingPipeline.ingestAvailable(spark, glob, out)
+    assert(spark.read.parquet(s"$out/_staged_refs").count() == 1)
+
+    // A new bundle arrives: only its revisions are appended.
+    writeBundle("b.mwrev.zst", 2, 20L)
+    StreamingPipeline.ingestAvailable(spark, glob, out)
+    assert(spark.read.parquet(s"$out/_staged_refs").count() == 2)
+
+    val tables = StreamingPipeline.refreshTables(spark, out)
+    assert(tables("citation_instances").count() == 2)
+    assert(spark.read.parquet(s"$out/revisions").count() == 2)
+  }
+
   test("flatMapGroupsWithState sessionization across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
