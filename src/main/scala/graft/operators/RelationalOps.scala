@@ -346,6 +346,17 @@ object RelationalOps {
           count(lit(1)).as("n"))
     }),
 
+    // ---- explicit grouping sets (nation-level and priority-level
+    // subtotals in one pass, no full cube) ------------------------------
+    "q63_grouping_sets" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("total"),
+          count(lit(1)).as("n"))
+    }),
+
     // ---- approx distinct (HLL sketch; rows-only — approximations are
     // engine-specific). ApproxSpec bounds the error vs exact. ----------
     "q60_approx_distinct" -> ((s, d) => {
@@ -591,6 +602,12 @@ object RelationalOps {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
          count(*) AS n
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q63_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
     "q51_merge_nonnull" ->
       """WITH src AS (
            SELECT o_custkey, o_orderkey, o_orderstatus,
