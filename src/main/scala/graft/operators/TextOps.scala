@@ -189,6 +189,39 @@ object TextOps {
                i -> md5(substring(text, i, 8)))""")).as("fp"))
     }),
 
+    // ---- TF-IDF (linear inverse-frequency variant): top-3 terms/doc ----
+    // score = tf * N / df uses only integer-valued doubles — exact and
+    // engine-portable, unlike ln() whose last-ulp varies by libm.
+    "q64_tfidf_top_terms" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      val n = toks.select("doc_id").distinct().count()
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(df, "tok")
+        .withColumn("score",
+          round(col("tf").cast("double") * n / col("df"), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "tok", "score", "rank")
+    }),
+
+    // ---- corpus-wide bigram frequency top-20 ---------------------------
+    "q65_bigram_freq" -> ((s, d) => {
+      table(s, d, "documents")
+        .withColumn("tokens", words(col("text")))
+        .filter(size(col("tokens")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(tokens) - 2),
+             i -> concat_ws(' ', slice(tokens, i + 1, 2)))""")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
     // ---- n-gram Jaccard similarity on candidate pairs ------------------
     "q38_jaccard_pairs" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -298,6 +331,33 @@ object TextOps {
          list_min(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
            i -> md5(substr(text, i, 8)))) AS fp
          FROM documents""",
+    "q64_tfidf_top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+             w -> w <> '')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                GROUP BY doc_id, tok),
+         df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                GROUP BY tok),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM toks)
+         SELECT doc_id, tok, score, rank FROM (
+           SELECT doc_id, tf.tok,
+                  round(CAST(tf AS DOUBLE) * (SELECT n FROM n) / df, 6)
+                    AS score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY round(CAST(tf AS DOUBLE) * (SELECT n FROM n) / df, 6) DESC,
+                             tf.tok ASC) AS rank
+           FROM tf JOIN df ON tf.tok = df.tok)
+         WHERE rank <= 3""",
+    "q65_bigram_freq" ->
+      """SELECT bigram, count(*) AS n FROM (
+           SELECT unnest(list_transform(range(0, len(tokens) - 1),
+             i -> array_to_string(list_slice(tokens, i + 1, i + 2), ' ')))
+             AS bigram
+           FROM (SELECT list_filter(string_split(lower(text), ' '),
+                   w -> w <> '') AS tokens FROM documents)
+           WHERE len(tokens) >= 2)
+         GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
     "q38_jaccard_pairs" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)

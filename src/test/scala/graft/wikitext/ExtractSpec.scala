@@ -97,6 +97,41 @@ class ExtractSpec extends AnyFunSuite {
     assert(offs == offs.sorted)
   }
 
+  test("two refs on one line: both emitted with exact offsets") {
+    val wt = "A <ref>one</ref> B <ref name=z>https://e.org/z</ref> C"
+    val rs = ReferenceExtractor.extract(wt)
+    assert(rs.size == 2)
+    assert(rs.map(_.offsetStart) ==
+      Seq(wt.indexOf("<ref>one"), wt.indexOf("<ref name=z")))
+    assert(rs(1).referenceName.contains("z"))
+  }
+
+  test("ref with group and name attributes") {
+    val wt = "X <ref group=note name=\"n1\">content</ref>"
+    val m = byRaw(ReferenceExtractor.extract(wt))
+    val raw = "<ref group=note name=\"n1\">content</ref>"
+    assert(m.contains(raw))
+    assert(m(raw).referenceName.contains("n1"))
+  }
+
+  test("nested list markers and trailing URL punctuation") {
+    val wt = "==References==\n#* {{cite web |url=https://e.org/p}}\n\n" +
+      "See https://x.org/a. End.\n"
+    val m = byRaw(ReferenceExtractor.extract(wt))
+    assert(m.contains("#* {{cite web |url=https://e.org/p}}"))
+    assert(m("#* {{cite web |url=https://e.org/p}}").referenceType == 2)
+    // trailing sentence period stripped from the bare URL
+    assert(m.contains("https://x.org/a"))
+    assert(!m.keys.exists(_ == "https://x.org/a."))
+  }
+
+  test("citation template nested inside a non-citation template") {
+    val wt = "{{Infobox |source={{cite web |url=https://e.org/i}} }}"
+    val m = byRaw(ReferenceExtractor.extract(wt))
+    assert(m.contains("{{cite web |url=https://e.org/i}}"))
+    assert(!m.keys.exists(_.startsWith("{{Infobox")))
+  }
+
   test("get_family goldens") {
     assert(WikiConfig.getFamily("www.wikidata.org") == "Wikidata")
     assert(WikiConfig.getFamily("wikidata.org") == "Wikidata")
