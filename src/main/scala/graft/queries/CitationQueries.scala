@@ -132,6 +132,81 @@ object CitationQueries {
       .limit(clamp(limit))
   }
 
+  /** GET /citation/{record_sha1}: full detail for one normalized
+    * citation across all articles (api_v1.py:366-440) — one nested row:
+    * text, appearing articles, extracted links, per-invocation template
+    * parameter maps (A9), and the cross-article appearance history. */
+  def citationDetail(
+      normalizedCitations: DataFrame, citationInstances: DataFrame,
+      citationHistories: DataFrame, revisions: DataFrame,
+      ncwr: DataFrame, templateData: DataFrame,
+      normalizedSha1: String): DataFrame = {
+    val nc = normalizedCitations
+      .filter(col("normalized_sha1") === normalizedSha1)
+      .select("normalized_sha1", "reference_normalized")
+
+    val articles = citationInstances
+      .filter(col("normalized_sha1") === normalizedSha1)
+      .select("page_id").distinct()
+      .agg(sort_array(collect_list("page_id")).as("appears_on_articles"))
+
+    val links = ncwr.filter(col("normalized_sha1") === normalizedSha1)
+      .select("url").distinct()
+      .agg(sort_array(collect_list("url")).as("extracted_links"))
+
+    val templates = templateData
+      .filter(col("normalized_sha1") === normalizedSha1)
+      .groupBy("template_name", "offset_start")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("parameter_key"), col("parameter_value")))))
+        .as("parameters"))
+      .agg(collect_list(struct(
+        col("offset_start"), col("template_name"), col("parameters")))
+        .as("templates"))
+      // structs holding maps aren't natively orderable — sort on the
+      // (offset_start, template_name) fields explicitly (O4)
+      .withColumn("templates", expr(
+        """array_sort(templates, (l, r) ->
+             CASE WHEN l.offset_start < r.offset_start THEN -1
+                  WHEN l.offset_start > r.offset_start THEN 1
+                  WHEN l.template_name < r.template_name THEN -1
+                  WHEN l.template_name > r.template_name THEN 1
+                  ELSE 0 END)"""))
+
+    val history = citationInstances
+      .filter(col("normalized_sha1") === normalizedSha1)
+      .select("page_id", "raw_sha1")
+      .join(citationHistories, Seq("page_id", "raw_sha1"))
+      .join(revisions.select("revision_id", "revision_timestamp"),
+        "revision_id")
+      .agg(sort_array(collect_list(struct(
+        col("revision_timestamp"), col("revision_id"), col("page_id"))))
+        .as("history"))
+
+    nc.crossJoin(articles).crossJoin(links)
+      .crossJoin(templates).crossJoin(history)
+  }
+
+  /** GET /citation/{record_sha1}/history: appearance timeline of a
+    * normalized citation across articles, optionally filtered to one
+    * page (api_v1.py:443-478). */
+  def citationHistoryByNormalized(
+      citationInstances: DataFrame, citationHistories: DataFrame,
+      revisions: DataFrame, normalizedSha1: String,
+      pageId: Option[Int] = None): DataFrame = {
+    val instances = citationInstances
+      .filter(col("normalized_sha1") === normalizedSha1)
+      .select("page_id", "raw_sha1")
+    val filtered =
+      pageId.fold(instances)(p => instances.filter(col("page_id") === p))
+    filtered
+      .join(citationHistories, Seq("page_id", "raw_sha1"))
+      .join(revisions.select("revision_id", "revision_timestamp"),
+        "revision_id")
+      .select("revision_id", "revision_timestamp", "page_id")
+      .orderBy("revision_timestamp", "revision_id", "page_id") // O1
+  }
+
   /** GET /citation/{page_id}/{raw_sha1}/history: full appearance
     * timeline of one citation instance (J2 + O1). */
   def citationHistory(

@@ -182,6 +182,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(1001L -> 1L, 1002L -> 2L, 1003L -> 1L))
   }
 
+  test("citationDetail: nested full payload for a normalized citation") {
+    val sha = tables("citation_instances")
+      .filter(org.apache.spark.sql.functions.col("reference_name") === "a")
+      .select("normalized_sha1").head().getString(0)
+    val r = CitationQueries.citationDetail(
+      tables("normalized_citations"), tables("citation_instances"),
+      tables("citation_histories"), tables("revisions"),
+      tables("ncwr"), tables("template_data"), sha).head()
+    assert(r.getAs[String]("reference_normalized").contains("Cite web"))
+    assert(r.getSeq[Int](r.fieldIndex("appears_on_articles")) ==
+      Seq(100, 200))
+    assert(r.getSeq[String](r.fieldIndex("extracted_links")) ==
+      Seq("https://example.com/x"))
+    val tpls = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("templates"))
+    assert(tpls.size == 1)
+    assert(tpls.head.getAs[String]("template_name") == "Cite web")
+    assert(tpls.head.getAs[Map[String, String]]("parameters") ==
+      Map("url" -> "https://example.com/x", "title" -> "X"))
+    // ref a appeared at revs 1001, 1002 (page 100) and 2001 (page 200).
+    val hist = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("history"))
+      .map(h => (h.getAs[Long]("revision_id"), h.getAs[Int]("page_id")))
+    assert(hist == Seq((1001L, 100), (2001L, 200), (1002L, 100)))
+  }
+
+  test("citationHistoryByNormalized with optional page filter") {
+    val sha = tables("citation_instances")
+      .filter(org.apache.spark.sql.functions.col("reference_name") === "a")
+      .select("normalized_sha1").head().getString(0)
+    val all = CitationQueries.citationHistoryByNormalized(
+      tables("citation_instances"), tables("citation_histories"),
+      tables("revisions"), sha).collect()
+    assert(all.map(_.getAs[Long]("revision_id")).toSeq ==
+      Seq(1001L, 2001L, 1002L))
+    val only100 = CitationQueries.citationHistoryByNormalized(
+      tables("citation_instances"), tables("citation_histories"),
+      tables("revisions"), sha, pageId = Some(100)).collect()
+    assert(only100.map(_.getAs[Long]("revision_id")).toSeq ==
+      Seq(1001L, 1002L))
+  }
+
   test("templateReport and webResourceLookup") {
     val report = CitationQueries.templateReport(
       tables("template_data"), tables("normalized_citations"),
