@@ -46,6 +46,26 @@ object CitationQueries {
         col("has_container_label"), col("canonical_url"))
   }
 
+  /** GET /article?url=…: the relational half of article resolution — a
+    * curid-style URL already tracked in web_resources maps straight to
+    * its page (api_v1.py article lookup; the MediaWiki-API fallback for
+    * title URLs is a serving-layer concern, F12, excluded per SURVEY).
+    */
+  def articleByUrl(
+      webResources: DataFrame, documents: DataFrame,
+      url: String): DataFrame =
+    webResources.filter(col("url") === url &&
+      col("numeric_page_id").isNotNull)
+      .select(col("numeric_page_id").as("page_id"))
+      .join(documents, "page_id")
+      .select("page_id", "language_code", "has_container_label")
+
+  /** Name-only refs (`<ref name=… />`) carry no citation content; the
+    * explorer suppresses them from citation lists (explorer.py:20-26,
+    * P5/F11). */
+  val isNameOnlyRef: org.apache.spark.sql.Column =
+    col("reference_normalized").rlike("""^<ref name="[^"]*" */>$""")
+
   /** GET /article/{page_id}/revisions: revision timeline with per-
     * revision citation counts (A7/J4 — left join preserves zero-count
     * revisions), ordered by timestamp (O1). */
@@ -75,7 +95,8 @@ object CitationQueries {
       pageId: Int,
       revisionId: Option[Long] = None,
       limit: Int = 100,
-      offset: Int = 0): DataFrame = {
+      offset: Int = 0,
+      suppressNameOnly: Boolean = false): DataFrame = {
     val rev = revisions.filter(col("page_id") === pageId)
       .select(col("revision_id"), col("revision_timestamp"))
     val ch = citationHistories.filter(col("page_id") === pageId)
@@ -113,10 +134,11 @@ object CitationQueries {
       .withColumn("currently_visible",
         col("last_seen_revision_id") === lit(latest))
 
-    withFlags
+    val joined = withFlags
       .join(present, Seq("page_id", "raw_sha1"), "left_semi")
       .join(citationInstances, Seq("page_id", "raw_sha1"))
       .join(normalizedCitations, Seq("normalized_sha1"))
+    (if (suppressNameOnly) joined.filter(!isNameOnlyRef) else joined)
       .select(
         col("page_id"), col("raw_sha1"), col("normalized_sha1"),
         referenceTypeLabel.as("reference_type"),

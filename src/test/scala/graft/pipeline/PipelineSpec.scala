@@ -182,6 +182,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(1001L -> 1L, 1002L -> 2L, 1003L -> 1L))
   }
 
+  test("articleByUrl resolves a curid URL relationally") {
+    val rows = CitationQueries.articleByUrl(
+      tables("web_resources"), tables("documents"),
+      "https://en.wikipedia.org/w/index.php?curid=100").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Int]("page_id") == 100)
+    assert(rows.head.getAs[String]("language_code") == "en")
+  }
+
+  test("name-only refs suppressed when requested") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("<ref name=\"x\" />", "<ref name=\"y\">body</ref>")
+      .toDF("reference_normalized")
+    assert(df.filter(CitationQueries.isNameOnlyRef).count() == 1)
+    assert(df.filter(!CitationQueries.isNameOnlyRef)
+      .select(col("reference_normalized")).head().getString(0)
+      .contains("body"))
+  }
+
   test("citationDetail: nested full payload for a normalized citation") {
     val sha = tables("citation_instances")
       .filter(org.apache.spark.sql.functions.col("reference_name") === "a")
