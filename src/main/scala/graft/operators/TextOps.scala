@@ -36,17 +36,21 @@ object TextOps {
       .filter(size(col("tokens")) >= 3)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
 
-  /** MinHash signature: 4 independent hash slots via seed-suffixed md5.
-    * min() over content-hashes is order-independent and shuffle-free up to
-    * the per-doc partial aggregation (map-side combine). */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+  /** MinHash signature: 4 independent 8-hex-digit slots carved from ONE
+    * md5 per shingle (quarters of the digest are independent uniform
+    * hashes — one hash evaluation instead of four). min() over content
+    * hashes is order-independent and shuffle-free up to the per-doc
+    * partial aggregation (map-side combine). */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("shingle"))
     shingled(s, d)
       .groupBy("doc_id")
       .agg(
-        min(md5(concat(col("shingle"), lit("#0")))).as("sig0"),
-        min(md5(concat(col("shingle"), lit("#1")))).as("sig1"),
-        min(md5(concat(col("shingle"), lit("#2")))).as("sig2"),
-        min(md5(concat(col("shingle"), lit("#3")))).as("sig3"))
+        min(substring(h, 1, 8)).as("sig0"),
+        min(substring(h, 9, 8)).as("sig1"),
+        min(substring(h, 17, 8)).as("sig2"),
+        min(substring(h, 25, 8)).as("sig3"))
+  }
 
   private val stop = Seq("the", "a", "of", "and", "to")
 
@@ -288,8 +292,10 @@ object TextOps {
          FROM documents""",
     "q36_minhash_sig" ->
       """SELECT doc_id,
-         min(md5(shingle || '#0')) AS sig0, min(md5(shingle || '#1')) AS sig1,
-         min(md5(shingle || '#2')) AS sig2, min(md5(shingle || '#3')) AS sig3
+         min(substr(md5(shingle), 1, 8)) AS sig0,
+         min(substr(md5(shingle), 9, 8)) AS sig1,
+         min(substr(md5(shingle), 17, 8)) AS sig2,
+         min(substr(md5(shingle), 25, 8)) AS sig3
          FROM (
            SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 2),
              i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' '))) AS shingle
@@ -301,8 +307,10 @@ object TextOps {
     "q37_lsh_pairs" ->
       """WITH sigs AS (
            SELECT doc_id,
-             md5(min(md5(shingle || '#0')) || min(md5(shingle || '#1'))) AS b0,
-             md5(min(md5(shingle || '#2')) || min(md5(shingle || '#3'))) AS b1
+             md5(min(substr(md5(shingle), 1, 8))
+                 || min(substr(md5(shingle), 9, 8))) AS b0,
+             md5(min(substr(md5(shingle), 17, 8))
+                 || min(substr(md5(shingle), 25, 8))) AS b1
            FROM (
              SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 2),
                i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' '))) AS shingle
