@@ -119,6 +119,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("en.wikipedia.org", "Sfn")))
   }
 
+  test("dedup-key uniqueness holds on every table (SURVEY §5 property)") {
+    CitationPipeline.dedupKeys.foreach {
+      case (name, Some(keys)) =>
+        val t = tables(name)
+        assert(t.count() == t.select(keys.map(
+          org.apache.spark.sql.functions.col): _*).distinct().count(),
+          s"dedup key not unique for $name")
+      case (name, None) =>
+        val t = tables(name)
+        assert(t.count() == t.distinct().count(),
+          s"whole-row dedup left duplicates in $name")
+    }
+  }
+
   test("template_data has named and positional params") {
     val td = tables("template_data").collect()
       .map(r => (r.getString(1), r.getString(4), r.getString(5))).toSet

@@ -111,6 +111,32 @@ This is a crazy guy citation.
     outputs.foreach(o => assert(n(o) == o))
   }
 
+  test("scalacheck: idempotence + sha1 stability over generated wikitext") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("alpha", "beta", "cite", "url", "x_y")
+    val param = for { k <- word; v <- word } yield s"$k = $v"
+    val tpl = for {
+      name <- Gen.oneOf("cite web", "Cite_book", "sfn", "flag")
+      ps <- Gen.listOfN(3, param)
+    } yield s"{{ $name | ${ps.mkString(" | ")} }}"
+    val doc = for {
+      t <- tpl
+      pre <- Gen.oneOf("", "text ", "* ", "### ", "\n")
+      wrap <- Gen.oneOf(identity[String] _,
+        (s: String) => s"<ref name=a>$s</ref>",
+        (s: String) => s"[https://e.org $s]")
+    } yield pre + wrap(t)
+    def sha1(s: String) = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val prop = Prop.forAll(doc) { s =>
+      val n1 = n(s)
+      n(n1) == n1 && sha1(n1) == sha1(n(s)) // idempotent + stable hash
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("fuzz: pathological bracket/pipe soup neither crashes nor hangs") {
     val rng = new scala.util.Random(42)
     val alphabet = Array("{{", "}}", "[[", "]]", "[", "]", "|", "=",
