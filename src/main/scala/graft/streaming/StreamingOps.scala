@@ -79,9 +79,54 @@ object StreamingOps {
     runToTable(deduped, "append")
   }
 
+  /** Stream-stream inner join with watermarks: purchases attributed to
+    * the clicks that preceded them by at most one hour, per user. With
+    * AvailableNow over a static directory this equals the batch
+    * interval join — the oracle. State on both sides is bounded by the
+    * watermark + join range. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, prefix: String) =
+      streamEvents(s, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"),
+          col("event_id").as(s"${prefix}_id"),
+          col("ts").as(s"${prefix}_ts"),
+          timestamp_seconds(expr("ts div 1000000000"))
+            .as(s"${prefix}_time"))
+        .withWatermark(s"${prefix}_time", "1 hour")
+    val clicks = side("click", "click")
+    val purchases = side("purchase", "purchase")
+    val joined = clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr("INTERVAL 1 HOUR"))
+      .select(clicks("user_id"), col("click_id"), col("purchase_id"))
+    runToTable(joined, "append")
+  }
+
+  /** Native event-time session windows (30-min gap) — the declarative
+    * twin of the flatMapGroupsWithState sessionizer; complete mode so
+    * every closed-and-open session reaches the sink. */
+  def sessionWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val perSession = streamEvents(s, dir)
+      .withColumn("etime", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("etime", "1 hour")
+      .groupBy(col("user_id"), session_window(col("etime"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    // Per-user rollup runs as a batch query over the sink — chaining a
+    // second stateful aggregation inside the stream would trip Spark's
+    // global-watermark correctness check.
+    runToTable(perSession, "complete")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_stream_window" -> ((s, d) => windowedAgg(s, d)),
-    "q53_stream_dedup" -> ((s, d) => streamingDedup(s, d)))
+    "q53_stream_dedup" -> ((s, d) => streamingDedup(s, d)),
+    "q66_stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
+    "q67_session_window" -> ((s, d) => sessionWindowAgg(s, d)))
 
   val oracle: Map[String, String] = Map(
     // Identical to the q28 batch oracle — stream == batch equivalence.
@@ -92,5 +137,29 @@ object StreamingOps {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q53_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events")
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // Batch interval join over the same second-truncated event times.
+    "q66_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+         FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec
+               FROM events WHERE event_type = 'click') c
+         JOIN (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec
+               FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.sec >= c.sec AND p.sec <= c.sec + 3600""",
+    // Gaps-and-islands on second-truncated times with session_window's
+    // exclusive-end rule: a gap of exactly the 1800s threshold starts a
+    // new session (windows are [t, t+gap)).
+    "q67_session_window" ->
+      """SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+         FROM (
+           SELECT user_id, CASE WHEN prev_sec IS NULL
+                                     OR sec - prev_sec >= 1800
+                                THEN 1 ELSE 0 END AS new_s
+           FROM (SELECT user_id, sec,
+                   lag(sec) OVER (PARTITION BY user_id
+                                  ORDER BY sec, event_id) AS prev_sec
+                 FROM (SELECT user_id, event_id,
+                         epoch_ns(ts) // 1000000000 AS sec FROM events)))
+         GROUP BY user_id""")
 }
