@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: runs headline operators at 1× and N× sf0.1 (tables
+  * replicated in-plan with shifted keys so join/group cardinalities
+  * scale with the data) and prints per-operator timing ratios. A
+  * near-N× ratio on an N× input means the operator is linear — the
+  * property that lets the same plan survive a 100 TB cluster run;
+  * superlinear ratios flag accidental quadratic work or broken
+  * partitioning.
+  *
+  * Usage: runMain graft.ScaleProbe [factor] [sfDir]
+  */
+object ScaleProbe {
+
+  private val Offset = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(8)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def base(name: String): DataFrame = Tables.table(spark, sfDir, name)
+
+    /** k copies with the named key columns shifted per copy. */
+    def scaled(name: String, k: Int, keys: String*): DataFrame =
+      (0 until k).map { i =>
+        keys.foldLeft(base(name))((df, c) =>
+          df.withColumn(c, col(c) + lit(i * Offset)))
+      }.reduce(_ unionByName _)
+
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+
+    val probes: Map[String, Int => DataFrame] = Map(
+      "scan_agg" -> (k =>
+        scaled("lineitem", k, "l_orderkey")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast(dec)).as("q"),
+            count(lit(1)).as("n"))),
+      "bigbig_join_agg" -> (k =>
+        scaled("lineitem", k, "l_orderkey")
+          .join(scaled("orders", k, "o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))),
+      "window_dedup" -> (k => {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        scaled("lineitem", k, "l_orderkey")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+      }),
+      "minhash" -> (k => {
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        scaled("documents", k, "doc_id")
+          .withColumn("tokens", toks)
+          .filter(size(col("tokens")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(tokens) - 3),
+               i -> concat_ws(' ', slice(tokens, i + 1, 3)))"""))
+            .as("shingle"))
+          .groupBy("doc_id")
+          .agg(min(substring(md5(col("shingle")), 1, 8)).as("sig0"))
+      }),
+      "sessionize" -> (k => {
+        val byUser = Window.partitionBy("user_id").orderBy("event_id")
+        val gapNs = 1800L * 1000 * 1000 * 1000
+        scaled("events", k, "user_id", "event_id")
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum("new_session").as("n_sessions"))
+      }),
+      "label_blocked_cosine" -> (k => {
+        graft.functions.GraftFunctions.register(spark)
+        // labels shifted too: block sizes stay constant, total linear.
+        val e = scaled("embeddings", k, "vec_id", "label")
+          .select(col("label"), col("vec_id"), col("embedding"),
+            sqrt(expr("array_dot(embedding, embedding)")).as("nrm"))
+        val a = e.select(col("label"), col("vec_id").as("a_id"),
+          col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+        val b = e.select(col("label"), col("vec_id").as("b_id"),
+          col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+        a.join(b, "label").filter(col("a_id") < col("b_id"))
+          .select(round(expr("array_dot(a_vec, b_vec)")
+            / (col("a_nrm") * col("b_nrm")), 6).as("cosine"))
+          .filter(col("cosine") > 0.5)
+      }))
+
+    def time(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = probes.toSeq.sortBy(_._1).map { case (name, mk) =>
+      time(mk(1)); time(mk(n)) // warmup both shapes
+      val t1 = time(mk(1))
+      val tn = time(mk(n))
+      (name, t1, tn, tn / t1)
+    }
+    val qs = results.map { case (k, t1, tn, r) =>
+      f""""$k":{"t1":$t1%.2f,"t$n":$tn%.2f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","factor":$n,"probes":$qs}""")
+    spark.stop()
+  }
+}
