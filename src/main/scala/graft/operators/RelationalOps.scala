@@ -387,6 +387,26 @@ object RelationalOps {
           .as("revenue"), count(lit(1)).as("n_items"))
     }),
 
+    // ---- pivot: per-user event-type count matrix -----------------------
+    "q68_pivot" -> ((s, d) => {
+      table(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // ---- histogram: fixed-width numeric binning ------------------------
+    "q69_histogram" -> ((s, d) => {
+      table(s, d, "orders")
+        .withColumn("bin",
+          floor(col("o_totalprice") / 50000).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("bin_total"))
+    }),
+
     // ---- spark.sql surface: TPC-H Q3-shaped ANSI SQL over temp views --
     "q61_sql_api" -> ((s, d) => {
       Seq("customer", "orders", "lineitem").foreach(t =>
@@ -559,6 +579,20 @@ object RelationalOps {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q68_pivot" ->
+      """SELECT user_id,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+         FROM events GROUP BY user_id""",
+    "q69_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS bin_total
+         FROM orders GROUP BY 1""",
     "q62_star_join" ->
       """SELECT n_name,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
