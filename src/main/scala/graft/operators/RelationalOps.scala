@@ -387,6 +387,26 @@ object RelationalOps {
           .as("revenue"), count(lit(1)).as("n_items"))
     }),
 
+    // ---- as-of join: each purchase matched to the user's most recent
+    // prior-or-simultaneous click. Implemented as the scalable
+    // union-and-carry-forward: one sort per user partition (a single
+    // shuffle), not a range self-join — the classic distributed as-of
+    // algorithm. Same-ts ties: clicks order before purchases (>= match).
+    "q70_asof_join" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (col("event_type") === "purchase").cast("int").as("is_purchase"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+      ev.withColumn("click_id",
+        last(when(col("is_purchase") === 0, col("event_id")),
+          ignoreNulls = true).over(w))
+        .filter(col("is_purchase") === 1)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("click_id"))
+    }),
+
     // ---- pivot: per-user event-type count matrix -----------------------
     "q68_pivot" -> ((s, d) => {
       table(s, d, "events")
@@ -579,6 +599,13 @@ object RelationalOps {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q70_asof_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+         FROM (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events
+                         WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "q68_pivot" ->
       """SELECT user_id,
          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
