@@ -95,6 +95,8 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.injection)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }

@@ -55,6 +55,32 @@ class ArrayDotSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getDouble(0) == 16.0)
   }
 
+  test("optimizer rule rewrites the zip_with/aggregate idiom to array_dot") {
+    // non-constant input so constant folding can't collapse the plan
+    val df = spark.range(1, 3)
+      .selectExpr(
+        "transform(sequence(1, 2), k -> CAST(id + k AS FLOAT)) AS a",
+        "transform(sequence(1, 2), k -> CAST(id * k AS FLOAT)) AS b")
+      .selectExpr("""aggregate(zip_with(a, b,
+            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d""")
+    assert(df.queryExecution.optimizedPlan.toString.contains("array_dot"),
+      df.queryExecution.optimizedPlan.toString)
+    // id=1: a=[2,3], b=[1,2] -> 2+6=8; id=2: a=[3,4], b=[2,4] -> 6+16=22
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(8.0, 22.0))
+  }
+
+  test("rule leaves non-matching aggregates untouched") {
+    import spark.implicits._
+    // sum of squares via aggregate (merge is acc + v*v, not acc + v)
+    val df = Seq(Array(2.0f, 3.0f)).toDF("a")
+      .select(expr("""aggregate(a, CAST(0 AS DOUBLE),
+          (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))""")
+        .as("ss"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("array_dot"))
+    assert(df.head().getDouble(0) == 13.0)
+  }
+
   test("survives codegen in a wider plan (per-row loop, many rows)") {
     import spark.implicits._
     val n = 1000
