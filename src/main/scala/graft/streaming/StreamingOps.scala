@@ -147,14 +147,15 @@ object StreamingOps {
                FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id
           AND p.sec >= c.sec AND p.sec <= c.sec + 3600""",
-    // Gaps-and-islands on second-truncated times with session_window's
-    // exclusive-end rule: a gap of exactly the 1800s threshold starts a
-    // new session (windows are [t, t+gap)).
+    // Gaps-and-islands on second-truncated times. session_window's gap
+    // is boundary-INCLUSIVE: an event exactly 1800s after the previous
+    // one still merges (verified against sf0.1 where such a gap
+    // occurs), so a new session needs gap > 1800.
     "q67_session_window" ->
       """SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
          FROM (
            SELECT user_id, CASE WHEN prev_sec IS NULL
-                                     OR sec - prev_sec >= 1800
+                                     OR sec - prev_sec > 1800
                                 THEN 1 ELSE 0 END AS new_s
            FROM (SELECT user_id, sec,
                    lag(sec) OVER (PARTITION BY user_id
