@@ -29,7 +29,7 @@ object Resolve {
       df: DataFrame, sortCols: Seq[String], idCol: String): DataFrame = {
     val sorted = df.orderBy(sortCols.map(col): _*)
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     df.sparkSession.createDataFrame(rdd, schema)

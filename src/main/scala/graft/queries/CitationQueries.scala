@@ -127,7 +127,7 @@ object CitationQueries {
     val removedAt = stats
       .join(revIds,
         col("next_revision_id") > col("last_seen_revision_id"), "left_outer")
-      .groupBy((stats.columns.map(col)): _*)
+      .groupBy(stats.columns.toIndexedSeq.map(col): _*)
       .agg(min("next_revision_id").as("removed_at_revision_id"))
 
     val withFlags = removedAt
