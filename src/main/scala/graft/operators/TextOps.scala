@@ -226,6 +226,47 @@ object TextOps {
         .limit(20)
     }),
 
+    // ---- deterministic train/val/test split (hash-stable: a doc keeps
+    // its split forever, regardless of corpus growth or partitioning) --
+    "q71_dataset_split" -> ((s, d) => {
+      // bucket in 0..99 from the first two md5 hex digits via digit
+      // position — portable (no hex-to-int builtin needed either side)
+      def hexDigit(i: Int) =
+        expr(s"locate(substring(md5(CAST(doc_id AS STRING)), $i, 1), " +
+          "'0123456789abcdef') - 1")
+      val bucket = (hexDigit(1) * 16 + hexDigit(2)) % 100
+      table(s, d, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+
+    // ---- stratified deterministic sample: 2 docs per (lang, source)
+    // stratum by hash order — reproducible without a seed exchange ----
+    "q72_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      table(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("lang", "source", "doc_id")
+    }),
+
+    // ---- data-quality profile: per-language column statistics ---------
+    "q73_quality_profile" -> ((s, d) => {
+      table(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("text").isNull.cast("long")).as("null_text"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+          countDistinct("source").as("n_sources"))
+    }),
+
     // ---- n-gram Jaccard similarity on candidate pairs ------------------
     "q38_jaccard_pairs" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -339,6 +380,34 @@ object TextOps {
          list_min(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
            i -> md5(substr(text, i, 8)))) AS fp
          FROM documents""",
+    "q71_dataset_split" ->
+      """SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+         FROM (
+           SELECT n_chars, CASE WHEN bucket < 80 THEN 'train'
+                                WHEN bucket < 90 THEN 'val'
+                                ELSE 'test' END AS split
+           FROM (
+             SELECT n_chars,
+               ((strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               % 100 AS bucket
+             FROM documents))
+         GROUP BY split""",
+    "q72_stratified_sample" ->
+      """SELECT lang, source, doc_id FROM (
+           SELECT lang, source, doc_id,
+                  row_number() OVER (PARTITION BY lang, source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents) WHERE rn <= 2""",
+    "q73_quality_profile" ->
+      """SELECT lang, count(*) AS n,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+         count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang""",
     "q64_tfidf_top_terms" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
