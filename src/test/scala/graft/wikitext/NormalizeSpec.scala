@@ -111,6 +111,25 @@ This is a crazy guy citation.
     outputs.foreach(o => assert(n(o) == o))
   }
 
+  test("unicode and realistic citation pins (regression anchors)") {
+    // Non-ASCII content passes through untouched; param sorting uses
+    // binary string order consistently.
+    assert(n("{{Cite web |title=Čitátion ünïcode — 引用 |url=http://x.ru/ж}}")
+      == "{{Cite web|title=Čitátion ünïcode — 引用|url=http://x.ru/ж}}")
+    // DOI/ISBN-style params with dots/slashes survive verbatim.
+    assert(n("{{cite journal |doi=10.1000/j.x.2020.01 |isbn=978-3-16-148410-0 |title=T}}")
+      == "{{Cite journal|doi=10.1000/j.x.2020.01|isbn=978-3-16-148410-0|title=T}}")
+    // Empty parameter values are kept (reference keeps all params).
+    assert(n("{{Cite web |url=http://e.org |archive-url= |title=T}}")
+      == "{{Cite web|archive-url=|title=T|url=http://e.org}}")
+    // HTML entities are data, not markup.
+    assert(n("{{Cite web |title=A &amp; B |url=http://e.org}}")
+      == "{{Cite web|title=A &amp; B|url=http://e.org}}")
+    // Duplicate keys both survive, stably ordered by rendered k=v.
+    assert(n("{{Cite web |url=http://b.org |url=http://a.org}}")
+      == "{{Cite web|url=http://a.org|url=http://b.org}}")
+  }
+
   test("scalacheck: idempotence + sha1 stability over generated wikitext") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val word = Gen.oneOf("alpha", "beta", "cite", "url", "x_y")
