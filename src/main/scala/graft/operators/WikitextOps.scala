@@ -81,6 +81,18 @@ object WikitextOps {
         pageId = 7, revisionId = Some(72L))
     }),
 
+    // ---- all-pages batch citation report (no per-page driver probes):
+    // each synthetic page's rev2 shows its <ref> and its standalone URL
+    // → exactly one inline + one other citation per document ----------
+    "q74_current_citations" -> ((s, d) => {
+      val t = dedupedTables(s, d)
+      CitationQueries.currentCitationsReport(
+        t("citation_instances"), t("normalized_citations"),
+        t("citation_histories"), t("revisions"))
+        .groupBy("reference_type")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- U1 at scale: normalize across the corpus, group by shape ----
     // (rows-only: normalization itself is the system under test).
     "q47_normalize_stats" -> ((s, d) => {
@@ -94,6 +106,10 @@ object WikitextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q74_current_citations" ->
+      """SELECT 'inline' AS reference_type, count(*) AS n FROM documents
+         UNION ALL
+         SELECT 'other' AS reference_type, count(*) AS n FROM documents""",
     "q45_wikitext_pipeline" ->
       """SELECT count(*)*2 AS n_instances, count(*)*2 AS n_normalized,
          count(*)*3 AS n_histories, count(*)*2 AS n_revisions,

@@ -154,6 +154,34 @@ object CitationQueries {
       .limit(clamp(limit))
   }
 
+  /** Batch analytical form of the timeline endpoint: for EVERY page,
+    * the citations visible at its latest revision, with history stats —
+    * no per-page driver probes, one plan over all pages (the shape a
+    * 1000-executor cluster runs over the full corpus; the scalar
+    * `citationsAtRevision` is the serving-path specialization). */
+  def currentCitationsReport(
+      citationInstances: DataFrame, normalizedCitations: DataFrame,
+      citationHistories: DataFrame, revisions: DataFrame): DataFrame = {
+    val latest = revisions.groupBy("page_id")
+      .agg(max("revision_id").as("latest_rev"))
+    val stats = citationHistories
+      .join(revisions.select("revision_id", "revision_timestamp"),
+        "revision_id")
+      .groupBy("page_id", "raw_sha1")
+      .agg(
+        min("revision_timestamp").as("first_seen"),
+        max("revision_timestamp").as("last_seen"),
+        max("revision_id").as("last_seen_revision_id"),
+        count(lit(1)).as("appearance_count"))
+    stats.join(latest, "page_id")
+      .filter(col("last_seen_revision_id") === col("latest_rev"))
+      .join(citationInstances, Seq("page_id", "raw_sha1"))
+      .join(normalizedCitations, Seq("normalized_sha1"))
+      .select(col("page_id"), col("raw_sha1"),
+        referenceTypeLabel.as("reference_type"),
+        col("first_seen"), col("last_seen"), col("appearance_count"))
+  }
+
   /** GET /citation/{record_sha1}: full detail for one normalized
     * citation across all articles (api_v1.py:366-440) — one nested row:
     * text, appearing articles, extracted links, per-invocation template

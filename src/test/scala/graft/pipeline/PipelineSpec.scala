@@ -196,6 +196,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(1001L -> 1L, 1002L -> 2L, 1003L -> 1L))
   }
 
+  test("currentCitationsReport: all-pages batch form") {
+    val rows = CitationQueries.currentCitationsReport(
+      tables("citation_instances"), tables("normalized_citations"),
+      tables("citation_histories"), tables("revisions")).collect()
+    // Visible now: sfn on page 100 (rev 1003), ref a on page 200 (rev
+    // 2001); ref a on page 100 was removed at rev 1003.
+    assert(rows.length == 2)
+    val byPage = rows.map(r => r.getAs[Int]("page_id") -> r).toMap
+    assert(byPage(100).getAs[Long]("appearance_count") == 2L)
+    assert(byPage(200).getAs[Long]("appearance_count") == 1L)
+  }
+
   test("articleByUrl resolves a curid URL relationally") {
     val rows = CitationQueries.articleByUrl(
       tables("web_resources"), tables("documents"),
