@@ -132,6 +132,42 @@ class ExtractSpec extends AnyFunSuite {
     assert(!m.keys.exists(_.startsWith("{{Infobox")))
   }
 
+  test("property: offsets slice back to raw over generated articles") {
+    val rng = new scala.util.Random(7)
+    val words = Array("alpha", "beta", "cite", "see", "also", "x")
+    def text(page: Int): String = {
+      val parts = Seq.newBuilder[String]
+      parts += s"Intro ${words(rng.nextInt(words.length))}."
+      (0 until 1 + rng.nextInt(3)).foreach { k =>
+        parts += s"<ref name=r$k>{{Cite web |url=https://e.org/$page/$k " +
+          s"|title=T$k}}</ref> filler"
+      }
+      if (rng.nextBoolean()) parts += "{{Sfn|Doe|2001|p=3}}"
+      parts += "\n==References==\n* {{Cite book |title=B}}\n" +
+        s"* bare https://n.org/$page\n\nTail https://t.org/$page end."
+      parts.result().mkString(" ")
+    }
+    (0 until 200).foreach { p =>
+      val wt = text(p)
+      val refs = ReferenceExtractor.extract(wt)
+      assert(refs.nonEmpty)
+      refs.foreach { r =>
+        assert(wt.substring(r.offsetStart, r.offsetStart + r.length)
+          == r.rawReference, s"offset mismatch in: $wt")
+        val norm = WikitextNormalizer.normalize(r.rawReference)
+        assert(WikitextNormalizer.normalize(norm) == norm)
+      }
+      // No two references claim overlapping spans.
+      val spans = refs.map(r => (r.offsetStart, r.offsetStart + r.length))
+        .sorted
+      spans.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 <= s2,
+          s"overlapping references in: $wt")
+        case _ => ()
+      }
+    }
+  }
+
   test("get_family goldens") {
     assert(WikiConfig.getFamily("www.wikidata.org") == "Wikidata")
     assert(WikiConfig.getFamily("wikidata.org") == "Wikidata")
