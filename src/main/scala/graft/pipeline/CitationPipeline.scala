@@ -290,6 +290,26 @@ object CitationPipeline {
       })
     }
 
+  /** Admin: drop one table's output or the whole table set (the
+    * Parquet-native form of the reference's purge.py — `--table` drops
+    * one, no argument drops all; "truncate" has no separate meaning for
+    * immutable files). */
+  def purge(
+      spark: SparkSession, outDir: String,
+      table: Option[String] = None): Unit = {
+    table.foreach(t => require(dedupKeys.contains(t),
+      s"unknown table '$t'; available: ${dedupKeys.keys.toSeq.sorted
+        .mkString(", ")}"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targets = table.map(Seq(_))
+      .getOrElse(dedupKeys.keys.toSeq :+ "_staged_refs")
+    targets.foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$t")
+      val fs = p.getFileSystem(conf)
+      fs.delete(p, true)
+    }
+  }
+
   /** Full pipeline: bundle glob → one extraction pass materialized as
     * zstd parquet → 11 deduped tables (S2/S4/S5). */
   def build(

@@ -281,13 +281,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wr.map(_.getAs[Int]("page_id")).toSet == Set(100, 200))
   }
 
-  test("full build writes 11 deduped tables + staging") {
+  test("full build writes 11 deduped tables + staging; purge removes") {
     val out = Files.createTempDirectory("graft-build").toFile.getAbsolutePath
     CitationPipeline.build(spark, s"$bundleDir/*.mwrev.zst", out)
     CitationPipeline.dedupKeys.keys.foreach { t =>
       assert(spark.read.parquet(s"$out/$t").count() > 0, s"table $t empty")
     }
     assert(spark.read.parquet(s"$out/_staged_refs").count() == 5)
+
+    CitationPipeline.purge(spark, out, Some("ncwr"))
+    assert(!new java.io.File(s"$out/ncwr").exists())
+    assert(new java.io.File(s"$out/revisions").exists())
+    intercept[IllegalArgumentException] {
+      CitationPipeline.purge(spark, out, Some("nope"))
+    }
+    CitationPipeline.purge(spark, out)
+    assert(!new java.io.File(s"$out/revisions").exists())
+    assert(!new java.io.File(s"$out/_staged_refs").exists())
   }
 
   test("DataSource V2: format(\"mwrev\") reads bundles") {
