@@ -387,6 +387,44 @@ object RelationalOps {
           .as("revenue"), count(lit(1)).as("n_items"))
     }),
 
+    // ---- order statistics: exact percentiles per group -----------------
+    "q75_percentiles" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 4)
+            .as("p50"),
+          round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 4)
+            .as("p90"),
+          round(expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice)"), 4)
+            .as("p99"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- calendar decomposition + truncation ---------------------------
+    "q79_date_parts" -> ((s, d) => {
+      table(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"))
+    }),
+
+    // ---- edit-distance fuzzy matching (dedup candidate scoring) --------
+    "q80_levenshtein" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val a = c.select(col("c_custkey").as("a_key"),
+        col("c_name").as("a_name"))
+      val b = c.select(col("c_custkey").as("b_key"),
+        col("c_name").as("b_name"))
+      a.join(b, col("a_key") + 1 === col("b_key"))
+        .select(col("a_key"), col("b_key"),
+          levenshtein(col("a_name"), col("b_name")).as("dist"))
+    }),
+
     // ---- as-of join: each purchase matched to the user's most recent
     // prior-or-simultaneous click. Implemented as the scalable
     // union-and-carry-forward: one sort per user partition (a single
@@ -599,6 +637,25 @@ object RelationalOps {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q75_percentiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+         round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus""",
+    "q79_date_parts" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(month(o_orderdate) AS INTEGER) AS m,
+         CAST(day(o_orderdate) AS INTEGER) AS dom,
+         CAST(quarter(o_orderdate) AS INTEGER) AS q,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+         FROM orders""",
+    "q80_levenshtein" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+         levenshtein(a.c_name, b.c_name) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey""",
     "q70_asof_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
          FROM (SELECT user_id, event_id, ts FROM events
