@@ -387,6 +387,18 @@ object RelationalOps {
           .as("revenue"), count(lit(1)).as("n_items"))
     }),
 
+    // ---- boolean / conditional aggregates ------------------------------
+    "q81_bool_aggs" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_totalprice") > 300000, 1L).otherwise(0L))
+            .as("n_large"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          bool_or(col("o_orderstatus") === "P").as("any_pending"),
+          count(lit(1)).as("n"))
+    }),
+
     // ---- order statistics: exact percentiles per group -----------------
     "q75_percentiles" -> ((s, d) => {
       table(s, d, "orders")
@@ -637,6 +649,13 @@ object RelationalOps {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q81_bool_aggs" ->
+      """SELECT o_orderpriority,
+         sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS n_large,
+         bool_and(o_totalprice > 0) AS all_positive,
+         bool_or(o_orderstatus = 'P') AS any_pending,
+         count(*) AS n
+         FROM orders GROUP BY o_orderpriority""",
     "q75_percentiles" ->
       """SELECT o_orderstatus,
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -100,6 +100,18 @@ object VectorOps {
          THEN '1' ELSE '0' END))"""
 
   lazy val lshQueries: Map[String, Q] = Map(
+    // ---- IVF centroids: element-wise per-label mean vectors ------------
+    // posexplode + (label, dim) aggregation — one shuffle of (dims ×
+    // labels) keys; the coarse-quantizer build step for IVF-style ANN.
+    "q82_ivf_centroids" -> ((s, d) => {
+      table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("c"),
+          count(lit(1)).as("n"))
+    }),
+
     // ---- LSH-bucketed ANN: the scale path for similarity search --------
     // Buckets are computed map-side (no shuffle); at cluster scale the
     // search fans out to one bucket (plus neighbors for recall), turning
@@ -113,6 +125,14 @@ object VectorOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q82_ivf_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+         round(avg(v), 6) AS c, count(*) AS n
+         FROM (SELECT label,
+                 unnest(range(1, len(embedding) + 1)) AS i,
+                 unnest(CAST(embedding AS DOUBLE[])) AS v
+               FROM embeddings)
+         GROUP BY label, i""",
     "q49_lsh_buckets" ->
       """SELECT bucket, count(*) AS n, min(vec_id) AS min_vec,
          max(vec_id) AS max_vec FROM (
