@@ -36,6 +36,9 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = lshQueries ++ Map(
+    // ---- full IVF probe: nearest centroid, then in-cell top-k ----------
+    "q83_ivf_search" -> ivfSearch,
+
     // ---- brute-force cosine top-k against a query vector ---------------
     "q40_cosine_topk" -> ((s0, d) => {
       val s = withFns(s0)
@@ -124,7 +127,63 @@ object VectorOps {
           max("vec_id").as("max_vec"))
     }))
 
+  /** Full IVF probe: round(·,6) centroids are bit-identical across
+    * engines, so nearest-centroid selection is deterministic; the
+    * within-cell scan then reuses the exact cosine formulation. */
+  lazy val ivfSearch: Q = (s0, d) => {
+    val s = withFns(s0)
+    val e = table(s, d, "embeddings")
+    // centroid vectors: per-label element-wise rounded means
+    val cvecs = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+        .as("cvec"))
+    val qv = e.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qd"),
+        col("embedding").as("qvec"))
+    // probe: cell whose centroid has the largest dot with the query
+    val nearest = cvecs.crossJoin(broadcast(qv))
+      .withColumn("score", expr(
+        """aggregate(zip_with(cvec, qd, (x, y) -> x * y),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+      .orderBy(col("score").desc, col("label").asc)
+      .limit(1)
+      .select(col("label"), col("qvec"))
+    // exact top-k inside the probed cell only
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(nearest), "label")
+      .select(col("label"), col("vec_id"),
+        round(dot("embedding", "qvec")
+          / (norm("embedding") * norm("qvec")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q83_ivf_search" ->
+      """WITH cent AS (
+           SELECT label, list(c ORDER BY i) AS cvec FROM (
+             SELECT label, i, round(avg(v), 6) AS c
+             FROM (SELECT label,
+                     unnest(range(1, len(embedding) + 1)) AS i,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v
+                   FROM embeddings)
+             GROUP BY label, i)
+           GROUP BY label),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qd
+               FROM embeddings WHERE vec_id = 0),
+         best AS (
+           SELECT label FROM cent, q
+           ORDER BY list_dot_product(cvec, qd) DESC, label ASC LIMIT 1)
+         SELECT e.label, e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT qd FROM q)), 6) AS cosine
+         FROM embeddings e JOIN best ON e.label = best.label
+         WHERE e.vec_id <> 0
+         ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
     "q82_ivf_centroids" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
          round(avg(v), 6) AS c, count(*) AS n
