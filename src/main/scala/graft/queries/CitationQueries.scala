@@ -98,20 +98,37 @@ object CitationQueries {
       offset: Int = 0,
       suppressNameOnly: Boolean = false): DataFrame = {
     val rev = revisions.filter(col("page_id") === pageId)
-      .select(col("revision_id"), col("revision_timestamp"))
+      .select(col("page_id"), col("revision_id"),
+        col("revision_timestamp"))
     val ch = citationHistories.filter(col("page_id") === pageId)
 
-    // W2: latest revision of the page (scalar lookup, api_v1.py:167-170).
-    val latest = rev.agg(max("revision_id")).head().getLong(0)
-    // Resolve target revision: explicit or latest (api_v1.py:154-158).
-    val target = revisionId.getOrElse(latest)
+    // Page revision timeline, fully plan-side (no driver `.head()` — a
+    // page with zero revisions yields an empty result instead of an
+    // NPE, matching the reference's graceful 404, api_v1.py:167-170):
+    // W4 `removed_at` is the NEXT revision after last_seen, i.e.
+    // `lead(revision_id)` over the timeline — an equi join against
+    // stats, not the O(citations × revisions) non-equi probe.
+    val pageW = Window.partitionBy("page_id").orderBy("revision_id")
+    val timeline = rev
+      .withColumn("next_revision_id", lead("revision_id", 1).over(pageW))
+      .withColumn("latest_rev",
+        max("revision_id").over(Window.partitionBy("page_id")))
 
-    // J9 semi join: instances present at the target revision.
-    val present = ch.filter(col("revision_id") === target)
-      .select(col("page_id"), col("raw_sha1"))
+    // J9 semi join: instances present at the target revision — explicit
+    // id, or the page's latest (api_v1.py:154-158) resolved in-plan.
+    val present = (revisionId match {
+      case Some(r) => ch.filter(col("revision_id") === r)
+      case None =>
+        ch.join(
+          broadcast(timeline
+            .filter(col("revision_id") === col("latest_rev"))
+            .select(col("revision_id"))),
+          Seq("revision_id"), "left_semi")
+    }).select(col("page_id"), col("raw_sha1"))
 
     // A6 history stats over the full (pruned) history.
-    val stats = ch.join(rev, "revision_id")
+    val stats = ch
+      .join(rev.select("revision_id", "revision_timestamp"), "revision_id")
       .groupBy("page_id", "raw_sha1")
       .agg(
         min("revision_timestamp").as("first_seen"),
@@ -120,19 +137,14 @@ object CitationQueries {
         max("revision_id").as("last_seen_revision_id"),
         count(lit(1)).as("appearance_count"))
 
-    // W4: next page revision after last_seen — its existence means the
-    // citation was removed there (J10 as a min-over-later-revisions).
-    val revIds = rev.select(col("revision_id").as("next_revision_id"))
-
-    val removedAt = stats
-      .join(revIds,
-        col("next_revision_id") > col("last_seen_revision_id"), "left_outer")
-      .groupBy(stats.columns.toIndexedSeq.map(col): _*)
-      .agg(min("next_revision_id").as("removed_at_revision_id"))
-
-    val withFlags = removedAt
+    val withFlags = stats
+      .join(broadcast(timeline.select(
+          col("revision_id").as("last_seen_revision_id"),
+          col("next_revision_id"), col("latest_rev"))),
+        Seq("last_seen_revision_id"))
+      .withColumn("removed_at_revision_id", col("next_revision_id"))
       .withColumn("currently_visible",
-        col("last_seen_revision_id") === lit(latest))
+        col("last_seen_revision_id") === col("latest_rev"))
 
     val joined = withFlags
       .join(present, Seq("page_id", "raw_sha1"), "left_semi")

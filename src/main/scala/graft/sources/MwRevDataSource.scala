@@ -4,8 +4,8 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -62,12 +62,20 @@ private class MwRevTable(properties: Map[String, String])
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Session Hadoop conf captured driver-side at scan build — user fs
+    // settings (s3a credentials, endpoints) reach both the listing and
+    // the executor-side readers instead of a bare `new Configuration()`.
+    val conf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     new MwRevScanBuilder(options.asScala.getOrElse("path",
-      properties.getOrElse("path", sys.error("mwrev: no path given"))))
+      properties.getOrElse("path", sys.error("mwrev: no path given"))),
+      conf)
+  }
 }
 
-private class MwRevScanBuilder(path: String)
+private class MwRevScanBuilder(
+    path: String, conf: SerializableConfiguration)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = MwRevDataSource.schema
@@ -75,10 +83,12 @@ private class MwRevScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new MwRevScan(path, required)
+  override def build(): Scan = new MwRevScan(path, required, conf)
 }
 
-private class MwRevScan(path: String, required: StructType)
+private class MwRevScan(
+    path: String, required: StructType,
+    private[sources] val conf: SerializableConfiguration)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -87,7 +97,7 @@ private class MwRevScan(path: String, required: StructType)
 
   private[sources] def listFiles(): Seq[String] = {
     val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, conf.value)
     val statuses = Option(fs.globStatus(p))
       .map(_.toSeq).getOrElse(Seq.empty)
     statuses.flatMap { st =>
@@ -102,49 +112,55 @@ private class MwRevScan(path: String, required: StructType)
     listFiles().map(f => MwRevPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MwRevReaderFactory(required.fieldNames)
+    new MwRevReaderFactory(required.fieldNames, conf)
 
   /** Streaming ingestion of a bundle directory — the Structured
     * Streaming replacement for the reference's DONE.txt bookkeeping
-    * (SURVEY.md §2.10): the offset is a position in the sorted file
-    * list, so each newly arrived bundle is processed exactly once;
+    * (SURVEY.md §2.10): the offset is a HIGH-WATER MARK by file name
+    * (like Spark's FileStreamSource), so a bundle arriving out of
+    * lexicographic order can never shift already-committed work — a
+    * positional count would re-read tail files after such an arrival
+    * (or after a deletion) and skip the newcomer.
     * `Trigger.AvailableNow` + checkpoint gives resumable batch runs. */
   override def toMicroBatchStream(checkpoint: String): MicroBatchStream =
     new MwRevMicroBatchStream(this)
 }
 
-private case class MwRevOffset(fileCount: Int) extends Offset {
-  override def json(): String = fileCount.toString
+/** Offset = the largest file name processed so far ("" = nothing). */
+private case class MwRevOffset(lastFile: String) extends Offset {
+  override def json(): String = lastFile
 }
 
 private class MwRevMicroBatchStream(scan: MwRevScan)
     extends MicroBatchStream {
 
-  // Snapshot the listing per latestOffset poll; files are processed in
-  // sorted order, new arrivals extend the tail.
+  // Snapshot of the sorted listing, refreshed per latestOffset poll.
   @volatile private var files: Vector[String] = Vector.empty
 
   override def latestOffset(): Offset = {
     files = scan.listFiles().toVector
-    MwRevOffset(files.size)
+    MwRevOffset(files.lastOption.getOrElse(""))
   }
 
-  override def initialOffset(): Offset = MwRevOffset(0)
+  override def initialOffset(): Offset = MwRevOffset("")
 
   override def deserializeOffset(json: String): Offset =
-    MwRevOffset(json.trim.toInt)
+    MwRevOffset(json)
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[MwRevOffset].fileCount
-    val until = end.asInstanceOf[MwRevOffset].fileCount
-    if (files.size < until) files = scan.listFiles().toVector
-    files.slice(from, until)
+    val from = start.asInstanceOf[MwRevOffset].lastFile
+    val until = end.asInstanceOf[MwRevOffset].lastFile
+    if (files.isEmpty || files.lastOption.exists(_ < until))
+      files = scan.listFiles().toVector
+    // (from, until] by name: exactly the files this batch committed to,
+    // regardless of later arrivals or deletions elsewhere in the list.
+    files.filter(f => f > from && f <= until)
       .map(f => MwRevPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MwRevReaderFactory(scan.readSchema().fieldNames)
+    new MwRevReaderFactory(scan.readSchema().fieldNames, scan.conf)
 
   override def commit(end: Offset): Unit = ()
 
@@ -153,22 +169,24 @@ private class MwRevMicroBatchStream(scan: MwRevScan)
 
 private case class MwRevPartition(file: String) extends InputPartition
 
-private class MwRevReaderFactory(columns: Array[String])
+private class MwRevReaderFactory(
+    columns: Array[String], conf: SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[MwRevPartition].file
-    new MwRevPartitionReader(file, columns)
+    new MwRevPartitionReader(file, columns, conf)
   }
 }
 
-private class MwRevPartitionReader(file: String, columns: Array[String])
+private class MwRevPartitionReader(
+    file: String, columns: Array[String], conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val wantText = columns.contains("revision_text")
   private val p = new Path(file)
-  private val in = FileSystem.get(p.toUri, new Configuration()).open(p)
+  private val in = FileSystem.get(p.toUri, conf.value).open(p)
   private val revisions: Iterator[Revision] =
     if (wantText) MwRevZst.parse(in)
     else MwRevZst.parseMetaOnly(in)

@@ -1,12 +1,20 @@
 package graft.wikitext
 
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
 /** Per-wiki configuration and domain classification.
   *
   * Re-expresses the reference's `wiki_config.py:12-33` + `wikis.yaml:1-50`
   * (per-domain reference-section names and citation-template matchers, with
   * fallback to en.wikipedia.org) and `wikis.py:1-11` (`get_family`).
-  * Config is a plain in-code map — at cluster scale it is closure-captured
-  * (tiny), no broadcast needed.
+  *
+  * Like the reference, the per-wiki map is loaded at RUNTIME from a
+  * bundled `wikis.yaml` resource — adding a wiki edits the file, no
+  * recompile. At cluster scale the parsed map is closure-captured
+  * (tiny, loaded once per JVM), no broadcast needed.
   */
 object WikiConfig {
 
@@ -19,29 +27,30 @@ object WikiConfig {
       citationPrefixes: Seq[String],
       citationExact: Set[String])
 
-  private val en = Config(
-    referenceSections = Set(
-      "articles", "audiobooks", "bibliography", "books", "external links",
-      "further reading", "references", "sources", "works cited",
-      "discography", "see also"),
-    citationPrefixes = Seq("cite"),
-    citationExact = Set("citation"))
+  /** Parse the wikis.yaml structure from a stream (resource or
+    * user-supplied file — same loader either way). */
+  private[wikitext] def parseYaml(
+      in: java.io.InputStream): Map[String, Config] = {
+    val root = new ObjectMapper(new YAMLFactory()).readTree(in)
+    root.fields().asScala.map { e =>
+      def strs(n: JsonNode, field: String): Seq[String] =
+        Option(n.get(field))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Nil)
+      e.getKey -> Config(
+        referenceSections = strs(e.getValue, "reference_sections").toSet,
+        citationPrefixes = strs(e.getValue, "citation_prefixes"),
+        citationExact = strs(e.getValue, "citation_exact").toSet)
+    }.toMap
+  }
 
-  private val configs: Map[String, Config] = Map(
-    "en.wikipedia.org" -> en,
-    "it.wikipedia.org" -> Config(
-      referenceSections = Set(
-        "note", "bibliografia", "fonti", "collegamenti esterni", "opere",
-        "discografia", "pagine correlate", "voci correlate"),
-      citationPrefixes = Seq("cita", "cite"),
-      citationExact = Set("citazione")),
-    "af.wikipedia.org" -> Config(
-      referenceSections = Set(
-        "verwysing", "verwysings", "bibliografie", "eksterne skakel",
-        "eksterne skakels", "bronne", "bron", "notas",
-        "notas en verwysings"),
-      citationPrefixes = Seq("cite"),
-      citationExact = Set("verwysing")))
+  private val configs: Map[String, Config] = {
+    val in = getClass.getResourceAsStream("/graft/wikis.yaml")
+    require(in != null, "missing bundled resource /graft/wikis.yaml")
+    try parseYaml(in) finally in.close()
+  }
+
+  private val en = configs("en.wikipedia.org")
 
   /** Footnote-shortcut templates treated as citations on every wiki. The
     * reference's extractor emits `{{Sfn|…}}` as a citation on

@@ -174,6 +174,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getAs[Boolean]("currently_visible"))
   }
 
+  test("citationsAtRevision: empty page yields empty result (no NPE), " +
+    "plan has no nested-loop join") {
+    val df = CitationQueries.citationsAtRevision(
+      tables("citation_instances"), tables("normalized_citations"),
+      tables("citation_histories"), tables("revisions"),
+      pageId = 999999)
+    assert(df.collect().isEmpty) // reference 404s gracefully
+    val populated = CitationQueries.citationsAtRevision(
+      tables("citation_instances"), tables("normalized_citations"),
+      tables("citation_histories"), tables("revisions"), pageId = 100)
+    val plan = populated.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"removed_at must be an equi join (lead over timeline), got:\n$plan")
+  }
+
   test("cross-article report: shared normalized citation") {
     val sha = tables("citation_instances")
       .filter(org.apache.spark.sql.functions.col("reference_name") === "a")
@@ -298,6 +313,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     CitationPipeline.purge(spark, out)
     assert(!new java.io.File(s"$out/revisions").exists())
     assert(!new java.io.File(s"$out/_staged_refs").exists())
+  }
+
+  test("pipeline output: serving join J2/J9 is Exchange-free " +
+    "(bucket contract, not just the BucketingSpec demo)") {
+    val out =
+      Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
+    CitationPipeline.build(spark, s"$bundleDir/*.mwrev.zst", out,
+      buckets = 4)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Accept subset-key co-partitioning: both sides are bucketed on
+    // page_id, which co-locates equal (page_id, raw_sha1) rows too.
+    // Since Spark 3.3 this needs the all-cluster-keys requirement off.
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val ch = CitationPipeline.servingTable(spark, out,
+        "citation_histories")
+      val ci = CitationPipeline.servingTable(spark, out,
+        "citation_instances")
+      // J2: the 28.8B-row history×instance join. HashPartitioning
+      // (page_id) from the bucket layout satisfies the clustered
+      // distribution on (page_id, raw_sha1) — both sides read
+      // pre-hashed buckets, zero Exchange.
+      val joined = ch.join(ci, Seq("page_id", "raw_sha1"))
+        .groupBy("page_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(page_id"),
+        s"serving join over pipeline output should reuse buckets:\n$plan")
+      assert(joined.count() == 2)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
   }
 
   test("DataSource V2: format(\"mwrev\") reads bundles") {
