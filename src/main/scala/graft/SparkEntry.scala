@@ -19,11 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ VectorOps.queries ++
-      MultimodalOps.queries ++ WikitextOps.queries ++
+      GraphOps.queries ++ MultimodalOps.queries ++ WikitextOps.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
-      MultimodalOps.oracle ++ WikitextOps.oracle ++
+      GraphOps.oracle ++ MultimodalOps.oracle ++ WikitextOps.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -54,6 +54,30 @@ object TextOps {
 
   private val stop = Seq("the", "a", "of", "and", "to")
 
+  /** MinHash-LSH candidate pairs (a_id < b_id) — q37, also the edge set
+    * for near-dup clustering (GraphOps q87). Unpivots the two bands into
+    * (band_id, band) rows, then generates pairs INSIDE each band bucket
+    * (groupBy + collect_list + pair expansion) instead of a self-join:
+    * the expensive shingle→minhash pipeline runs exactly once, and the
+    * only shuffle is by band key. Bucket sizes are tiny for honest
+    * signatures; a degenerate hot bucket is quadratic under any strategy
+    * and would be capped upstream at production scale. */
+  def lshPairs(s: SparkSession, d: String): DataFrame =
+    minhashSigs(s, d)
+      .select(col("doc_id"), explode(map(
+        lit(0), md5(concat(col("sig0"), col("sig1"))),
+        lit(1), md5(concat(col("sig2"), col("sig3")))))
+        .as(Seq("band_id", "band")))
+      .groupBy("band_id", "band")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+               struct(x AS a_id, y AS b_id))))""")).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
+
   val queries: Map[String, Q] = Map(
     // ---- P5/F11: regex predicate over document text --------------------
     "q27_regexp_filter" -> ((s, d) => {
@@ -144,29 +168,7 @@ object TextOps {
     // ---- LSH banding: candidate near-dup pairs -------------------------
     // Two bands of two slots; docs sharing either band become candidates.
     // The band self-join is the only shuffle that grows with collisions.
-    "q37_lsh_pairs" -> ((s, d) => {
-      // Unpivot the two bands into (band_id, band) rows, then generate
-      // candidate pairs INSIDE each band bucket (groupBy + collect_list +
-      // pair expansion) instead of a self-join: the expensive
-      // shingle->minhash pipeline runs exactly once, and the only shuffle
-      // is by band key. Bucket sizes are tiny for honest signatures; a
-      // degenerate hot bucket is quadratic under any strategy and would be
-      // capped upstream at production scale.
-      minhashSigs(s, d)
-        .select(col("doc_id"), explode(map(
-          lit(0), md5(concat(col("sig0"), col("sig1"))),
-          lit(1), md5(concat(col("sig2"), col("sig3")))))
-          .as(Seq("band_id", "band")))
-        .groupBy("band_id", "band")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-               transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-                 struct(x AS a_id, y AS b_id))))""")).as("p"))
-        .select(col("p.a_id"), col("p.b_id"))
-        .distinct()
-    }),
+    "q37_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
 
     // ---- SimHash: 16-bit sign-of-sums signature ------------------------
     // bit i = sign of sum over tokens of ±1 by the high bit of the i-th
@@ -274,6 +276,23 @@ object TextOps {
           countDistinct("source").as("n_sources"))
     }),
 
+    // ---- sensitive-term scrubbing (the PII-redaction machinery) --------
+    // The pre-release scrub every training pipeline runs: count pattern
+    // hits, mask them, fingerprint the scrubbed text — all codegen'd
+    // built-ins (regexp_count / regexp_replace / md5), one pass. The
+    // pattern is a parameter; the synthetic corpus contains no
+    // emails/phones, so the oracle-checked instance masks two stand-in
+    // terms with exactly the machinery a real PII pattern would use.
+    "q88_redact_terms" -> ((s, d) => {
+      val pat = "\\b(customer|value)\\b"
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long")
+            .as("n_redacted"),
+          md5(regexp_replace(col("text"), pat, "<MASK>"))
+            .as("redacted_md5"))
+    }),
+
     // ---- n-gram Jaccard similarity on candidate pairs ------------------
     "q38_jaccard_pairs" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -291,6 +310,13 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q88_redact_terms" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\b(customer|value)\b'))
+           AS BIGINT) AS n_redacted,
+         md5(regexp_replace(text, '\b(customer|value)\b', '<MASK>', 'g'))
+           AS redacted_md5
+         FROM documents""",
     "q27_regexp_filter" ->
       """SELECT lang, count(*) AS n FROM documents
          WHERE regexp_matches(text, 'hash (join|agg)') GROUP BY lang""",

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components contract: hash-min propagation equals the true
+  * transitive closure, for both the to-convergence operator and the
+  * plan-pure fixed-round variant used by q87.
+  */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graph-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def compMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("to-convergence CC solves a long chain plus separate clique") {
+    import spark.implicits._
+    // chain 1-2-3-...-10 (diameter 9) + clique {20,21,22} + pair {30,31}
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L))).toDF("a_id", "b_id")
+    val comp = compMap(GraphOps.connectedComponents(edges))
+    (1L to 10L).foreach(i => assert(comp(i) == 1L, s"node $i"))
+    Seq(20L, 21L, 22L).foreach(i => assert(comp(i) == 20L))
+    assert(comp(30L) == 30L && comp(31L) == 30L)
+  }
+
+  test("fixed-round CC is exact once rounds reach the diameter") {
+    import spark.implicits._
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // 3 rounds cannot traverse a diameter-7 chain: min label has not
+    // reached the far end yet...
+    val early = compMap(GraphOps.connectedComponentsFixed(chain, 3))
+    assert(early(8L) != 1L)
+    // ...7 rounds can.
+    val full = compMap(GraphOps.connectedComponentsFixed(chain, 7))
+    (1L to 8L).foreach(i => assert(full(i) == 1L))
+  }
+
+  test("q87's 6 rounds have converged on the real LSH-pair graph") {
+    val sf = "/root/testdata/sf0.001"
+    val fixedQ = compMap(GraphOps.queries("q87_neardup_clusters")(
+      spark, sf))
+    val conv = compMap(
+      GraphOps.connectedComponents(TextOps.lshPairs(spark, sf)))
+    assert(fixedQ == conv,
+      "fixed 6 rounds disagree with converged components")
+    assert(fixedQ.nonEmpty)
+    // every component id is itself a member and the component minimum
+    fixedQ.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.min == cid)
+    }
+  }
+}
