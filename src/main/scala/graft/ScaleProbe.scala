@@ -82,6 +82,42 @@ object ScaleProbe {
           .groupBy("user_id")
           .agg(sum("new_session").as("n_sessions"))
       }),
+      "cc_hashmin" -> (k => {
+        // k disjoint copies of the LSH candidate-pair graph (ids
+        // shifted per copy): components scale linearly, structure —
+        // and so the hash-min round count — stays constant.
+        val pairs = graft.operators.TextOps.lshPairs(spark, sfDir)
+        val edges = (0 until k).map(i => pairs.select(
+          (col("a_id") + lit(i * Offset)).as("a_id"),
+          (col("b_id") + lit(i * Offset)).as("b_id")))
+          .reduce(_ unionByName _)
+        graft.operators.GraphOps.connectedComponentsFixed(edges, 6)
+      }),
+      "kmeans_assign" -> (k => {
+        // assignment stage of the learned IVF: corpus scales k×, the
+        // centroid set stays constant (broadcast) — must be linear.
+        val cents = base("embeddings")
+          .select(col("label").as("cid"),
+            posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+              .as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(round(avg("x"), 6).as("c"))
+          .groupBy("cid")
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(pos, c))), p -> p.c)")
+            .as("cvec"))
+        val e = scaled("embeddings", k, "vec_id")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val score = expr(
+          """aggregate(zip_with(cvec, cvec, (x, y) -> x * y),
+               CAST(0 AS DOUBLE), (a, t) -> a + t)
+             - 2 * aggregate(zip_with(v, cvec, (x, y) -> x * y),
+               CAST(0 AS DOUBLE), (a, t) -> a + t)""")
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            struct(score.as("score"), col("cid").as("cid")).as("sc"))
+          .groupBy("vec_id").agg(min("sc").as("m"))
+      }),
       "label_blocked_cosine" -> (k => {
         graft.functions.GraftFunctions.register(spark)
         // labels shifted too: block sizes stay constant, total linear.

@@ -44,13 +44,28 @@ object StreamingOps {
   }
 
   /** Drain a streaming DataFrame into an in-memory table with
-    * AvailableNow and return the final result. */
+    * AvailableNow and return the final result.
+    *
+    * State-partition sizing: a stateful query fixes its state-store
+    * partition count to `spark.sql.shuffle.partitions` at FIRST start,
+    * and every micro-batch pays a per-partition state commit. The
+    * local test streams carry thousands of rows, where the session
+    * default (32) means the commit overhead dominates the data work —
+    * so size state partitions to the stream (8 here), exactly the
+    * sizing decision a production deployment makes per expected key
+    * cardinality. Restored after the drain so batch queries keep the
+    * session setting. */
   def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
     val name = s"graft_stream_${seq.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** Event-time hourly windowed aggregation with a watermark — the

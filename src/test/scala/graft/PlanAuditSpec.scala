@@ -66,4 +66,45 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"))
     assert(plan.contains("array_dot"))
   }
+
+  test("q84: near-dup pair stage shuffles on buckets, no cartesian") {
+    val plan = executedPlanString("q84_lsh_neardup")
+    // candidates come from an equi join on the LSH bucket key —
+    // a cartesian/nested-loop pair stage would be the quadratic bug
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("bucket"))
+  }
+
+  test("q85/q86: k-means assignment broadcasts the centroids") {
+    // The k×n scoring stage must replicate the TINY centroid set, never
+    // shuffle the corpus vectors against it.
+    val p85 = executedPlanString("q85_ivf_kmeans")
+    assert(p85.contains("BroadcastNestedLoopJoin") ||
+      p85.contains("BroadcastExchange"))
+    val p86 = executedPlanString("q86_ivf_kmeans_search")
+    assert(p86.contains("BroadcastExchange"))
+  }
+
+  test("q64: corpus size is an in-plan broadcast scalar, not a " +
+    "baked-in literal from a driver count") {
+    val df = SparkEntry.queries("q64_tfidf_top_terms")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the 1-row countDistinct side arrives via a broadcast join
+    // (single-row cross joins plan as BroadcastNestedLoopJoin)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+    // and the scoring expression references the broadcast column, not a
+    // constant the driver computed in a separate pass
+    assert(plan.contains("n_total"))
+  }
+
+  test("q46: serving citations computes removed_at as an equi join — " +
+    "no nested-loop probe") {
+    val df = SparkEntry.queries("q46_citations_at_revision")(spark, sf)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
 }
