@@ -293,6 +293,39 @@ object TextOps {
             .as("redacted_md5"))
     }),
 
+    // ---- benchmark decontamination: train/test n-gram overlap ----------
+    // The pre-training hygiene pass: flag training docs sharing any
+    // 3-gram shingle with a held-out benchmark set (here: every 97th
+    // doc). Shingles are generated map-side on both sides; the overlap
+    // is ONE hash join on the shingle key followed by a per-doc count —
+    // no all-pairs stage, so it scales as corpus × matched shingles.
+    "q89_contamination" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("shingle")).distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct("shingle").as("n_shingles_hit"))
+    }),
+
+    // ---- intra-document repetition score -------------------------------
+    // Boilerplate/looping-junk signal: the share of 3-gram occurrences
+    // that are repeats of an earlier 3-gram in the same document.
+    // Pure per-row array math — map-side, no shuffle at all.
+    "q90_repetition" -> ((s, d) => {
+      table(s, d, "documents")
+        .withColumn("tokens", words(col("text")))
+        .filter(size(col("tokens")) >= 3)
+        .withColumn("sh", expr(shinglesExpr))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct"),
+          round((size(col("sh")) - size(array_distinct(col("sh"))))
+            .cast("double") / size(col("sh")), 6).as("repetition"))
+    }),
+
     // ---- n-gram Jaccard similarity on candidate pairs ------------------
     "q38_jaccard_pairs" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -310,6 +343,31 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q89_contamination" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 2),
+             i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' '))) AS shingle
+           FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+                 FROM documents)
+           WHERE len(tokens) >= 3),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+         SELECT doc_id, count(*) AS n_hits,
+           count(DISTINCT sh.shingle) AS n_shingles_hit
+         FROM sh JOIN bench USING (shingle)
+         WHERE doc_id % 97 <> 0
+         GROUP BY doc_id""",
+    "q90_repetition" ->
+      """SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+         round(CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
+               / len(sh), 6) AS repetition
+         FROM (SELECT doc_id, list_transform(range(0, len(tokens) - 2),
+                 i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' ')) AS sh
+               FROM (SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+                     FROM documents)
+               WHERE len(tokens) >= 3)""",
     "q88_redact_terms" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\b(customer|value)\b'))
