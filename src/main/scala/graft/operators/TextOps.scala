@@ -54,23 +54,34 @@ object TextOps {
 
   private val stop = Seq("the", "a", "of", "and", "to")
 
+  /** Degenerate LSH buckets above this size are dropped rather than
+    * pair-expanded: a bucket of B docs emits B²/2 pairs, so one junk
+    * signature (e.g. the empty-ish document cluster) would dominate the
+    * whole job quadratically. 1000 never binds at the test scale
+    * factors (buckets are tiny for honest signatures — the oracle runs
+    * uncapped and still hash-matches); it is the production safety
+    * valve, exercised by HotBucketSpec. */
+  val MaxLshBucket = 1000
+
   /** MinHash-LSH candidate pairs (a_id < b_id) — q37, also the edge set
     * for near-dup clustering (GraphOps q87). Unpivots the two bands into
     * (band_id, band) rows, then generates pairs INSIDE each band bucket
     * (groupBy + collect_list + pair expansion) instead of a self-join:
     * the expensive shingle→minhash pipeline runs exactly once, and the
-    * only shuffle is by band key. Bucket sizes are tiny for honest
-    * signatures; a degenerate hot bucket is quadratic under any strategy
-    * and would be capped upstream at production scale. */
+    * only shuffle is by band key. */
   def lshPairs(s: SparkSession, d: String): DataFrame =
-    minhashSigs(s, d)
+    lshPairsOf(minhashSigs(s, d), MaxLshBucket)
+
+  /** Pair expansion from precomputed signatures, hot buckets capped. */
+  def lshPairsOf(sigs: DataFrame, maxBucket: Int): DataFrame =
+    sigs
       .select(col("doc_id"), explode(map(
         lit(0), md5(concat(col("sig0"), col("sig1"))),
         lit(1), md5(concat(col("sig2"), col("sig3")))))
         .as(Seq("band_id", "band")))
       .groupBy("band_id", "band")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
              transform(slice(ids, i + 2, size(ids) - i - 1), y ->
