@@ -321,11 +321,15 @@ object CitationPipeline {
     *
     * Deployment note: the hot joins key on (page_id, raw_sha1) while
     * the buckets hash page_id alone (so single-page serving reads can
-    * prune to ONE bucket). Spark ≥3.3 only reuses subset-key bucket
-    * partitioning with
-    * `spark.sql.requireAllClusterKeysForCoPartition=false` — set it on
-    * serving sessions (it is semantically safe: equal page_id implies
-    * co-located (page_id, raw_sha1)). */
+    * prune to ONE bucket). Serving sessions set two confs:
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` (Spark ≥3.3
+    * only reuses subset-key bucket partitioning with it off; it is
+    * semantically safe — equal page_id implies co-located
+    * (page_id, raw_sha1)) and
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
+    * (the auto heuristic disables bucketed scans for filter-only
+    * lookups, which also disables bucket pruning — the very win of the
+    * single-page path). Both asserted in PipelineSpec. */
   val bucketedTables: Set[String] =
     Set("citation_histories", "citation_instances")
 

@@ -351,6 +351,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucketed serving tables prune to one bucket on page_id lookup") {
+    val out =
+      Files.createTempDirectory("graft-prune").toFile.getAbsolutePath
+    CitationPipeline.build(spark, s"$bundleDir/*.mwrev.zst", out,
+      buckets = 4)
+    // A filter-only query has no join/agg that "needs" the bucket
+    // partitioning, so Spark's auto-bucketed-scan heuristic would
+    // disable the bucketed read — and with it, bucket PRUNING. Serving
+    // sessions pin it on (documented in CitationPipeline).
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val ch = CitationPipeline.servingTable(spark, out,
+      "citation_histories")
+    val q = ch.filter(
+      org.apache.spark.sql.functions.col("page_id") === 100)
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    // a single-page serving read touches 1 of the 4 hash buckets —
+    // the scan cost of the hot lookup path is 1/buckets of the table
+    assert(scan.metadata.get("SelectedBucketsCount")
+      .exists(_.contains("1 out of 4")),
+      s"expected bucket pruning, got: ${scan.metadata}")
+    spark.conf.unset(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("DataSource V2: format(\"mwrev\") reads bundles") {
     val df = spark.read.format("mwrev").load(s"$bundleDir/*.mwrev.zst")
     assert(df.count() == 4)

@@ -87,6 +87,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     StreamingPipeline.ingestAvailable(spark, glob, out)
     assert(spark.read.parquet(s"$out/_staged_refs").count() == 2)
 
+    // A bundle whose name sorts BELOW the committed high-water mark is
+    // skipped by design: the filename-HWM offset can never re-shift
+    // already-committed work (a positional offset would re-read tail
+    // files and corrupt exactly-once); bundle producers emit
+    // monotonically increasing names, DONE.txt-style.
+    writeBundle("0-late.mwrev.zst", 3, 30L)
+    StreamingPipeline.ingestAvailable(spark, glob, out)
+    assert(spark.read.parquet(s"$out/_staged_refs").count() == 2)
+
     val tables = StreamingPipeline.refreshTables(spark, out)
     assert(tables("citation_instances").count() == 2)
     assert(spark.read.parquet(s"$out/revisions").count() == 2)
