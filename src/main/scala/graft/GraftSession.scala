@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-stop session factory for the engine: registers the native
+  * functions/optimizer rule and applies the configuration the engine's
+  * layouts rely on, so a user switching from the reference gets the
+  * intended plans without hunting for conf flags.
+  *
+  * - `spark.sql.requireAllClusterKeysForCoPartition=false`: the big
+  *   serving tables are bucketed by `page_id` alone while the hot joins
+  *   key on (page_id, raw_sha1); subset-key bucket reuse needs this off
+  *   (semantically safe — equal page_id implies co-location).
+  * - `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`:
+  *   Spark's heuristic drops bucketed scans for filter-only queries,
+  *   which also drops bucket PRUNING — the very win of the single-page
+  *   serving lookup.
+  * - shuffle partitions default to the core count (overridable): right
+  *   for one-node runs; clusters size it to executors × cores, with AQE
+  *   coalescing from there.
+  */
+object GraftSession {
+
+  /** Builder preconfigured for this engine; call `.master(...)` /
+    * further `.config(...)` then `.getOrCreate()`. */
+  def builder(
+      shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val parts = shufflePartitions.getOrElse(
+      Runtime.getRuntime.availableProcessors())
+    SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+  }
+
+  /** Local session sized like the driver harness (local[n], UI off). */
+  def local(cores: Int = 32): SparkSession = {
+    val s = builder(Some(cores))
+      .master(s"local[$cores]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
