@@ -240,7 +240,10 @@ object VectorOps {
 
   /** Assignment after 2 Lloyd rounds: seed = label means → update →
     * re-assign. Returns (vec_id, cid, label, v) plus the learned
-    * centroids. */
+    * centroids. The embedding frame is re-scanned once per stage —
+    * trivial at bench scale; a 100 TB index build persists the
+    * double-cast embeddings (or stages them to parquet) before
+    * iterating, the standard k-means-on-Spark posture. */
   private def kmeansIndex(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = embDouble(s, d)
