@@ -137,11 +137,28 @@ object StreamingOps {
         sum("n_events").as("n_events"))
   }
 
+  /** Stream-static enrichment join — the standard "decorate the event
+    * stream with a dimension" pattern: the static side is broadcast
+    * into every micro-batch (no stream state at all, unlike the
+    * stream-stream join), then aggregated per segment. */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val cust = graft.Tables.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = streamEvents(s, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+    runToTable(enriched, "complete")
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_stream_window" -> ((s, d) => windowedAgg(s, d)),
     "q53_stream_dedup" -> ((s, d) => streamingDedup(s, d)),
     "q66_stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
-    "q67_session_window" -> ((s, d) => sessionWindowAgg(s, d)))
+    "q67_session_window" -> ((s, d) => sessionWindowAgg(s, d)),
+    "q91_stream_enrich" -> ((s, d) => streamStaticEnrich(s, d)))
 
   val oracle: Map[String, String] = Map(
     // Identical to the q28 batch oracle — stream == batch equivalence.
@@ -153,6 +170,12 @@ object StreamingOps {
          FROM events GROUP BY 1, 2""",
     "q53_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // Stream == batch: the enrichment join over a static stream input.
+    "q91_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c_mktsegment""",
     // Batch interval join over the same second-truncated event times.
     "q66_stream_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
