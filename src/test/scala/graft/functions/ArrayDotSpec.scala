@@ -47,6 +47,42 @@ class ArrayDotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(1))
   }
 
+  test("ragged lengths and null elements match the idiom exactly " +
+    "(so the rewrite is safe on arbitrary user data)") {
+    import spark.implicits._
+    // unequal lengths → zip_with pads with null → null result;
+    // a null element → null result; both must agree between the
+    // built-in formulation and the native expression.
+    val df = Seq(
+      (Array[java.lang.Float](1f, 2f, 3f), Array[java.lang.Float](4f, 5f)),
+      (Array[java.lang.Float](1f, null, 3f),
+        Array[java.lang.Float](4f, 5f, 6f)),
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f, 4f)))
+      .toDF("a", "b")
+      .select(
+        expr("array_dot(a, b)").as("native"),
+        expr("""aggregate(zip_with(a, b,
+            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("builtin"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    // and the rewrite still fires on ragged (non-constant) inputs,
+    // producing the same null-correct answer as the idiom
+    val rewritten = spark.range(1, 2)
+      .selectExpr(
+        "transform(sequence(1, 3), k -> CAST(id + k AS FLOAT)) AS a",
+        "transform(sequence(1, 2), k -> CAST(id * k AS FLOAT)) AS b")
+      .selectExpr("""aggregate(zip_with(a, b,
+            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d""")
+    assert(rewritten.queryExecution.optimizedPlan.toString
+      .contains("array_dot"))
+    assert(rewritten.head().isNullAt(0))
+  }
+
   test("imperative registration on a plain session") {
     val plain = spark.newSession()
     GraftFunctions.register(plain)
