@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Spark suites share the forked JVM; SparkSession.getOrCreate/stop race
+// across concurrently-running suites (a suite can receive another's
+// session — without its extensions). Suites must run sequentially.
+Test / parallelExecution := false
 run / fork := true
 // Pass the forked program's stdout through VERBATIM (no "[info] "
 // prefix): graft.Bench prints a machine-parsed JSON metric line.

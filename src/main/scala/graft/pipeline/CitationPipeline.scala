@@ -345,6 +345,27 @@ object CitationPipeline {
       spark.table(servingTableName(table))
     else spark.read.parquet(s"$outDir/$table")
 
+  /** Publish the deduped table set: bucketed catalog tables for the
+    * big two, plain zstd parquet otherwise. Shared by the batch build
+    * and the streaming refresh so both layouts are identical. */
+  def writeTables(
+      tables: Map[String, DataFrame],
+      outDir: String,
+      buckets: Int = 32): Unit =
+    tables.foreach { case (name, df) =>
+      if (bucketedTables(name))
+        df.write.mode("overwrite")
+          .option("compression", "zstd")
+          .option("path", s"$outDir/$name")
+          .bucketBy(buckets, "page_id").sortBy("page_id")
+          .format("parquet")
+          .saveAsTable(servingTableName(name))
+      else
+        df.write.mode("overwrite")
+          .option("compression", "zstd")
+          .parquet(s"$outDir/$name")
+    }
+
   /** Full pipeline: bundle glob → one extraction pass materialized as
     * zstd parquet → 11 deduped tables (S2/S4/S5). `buckets` sizes the
     * page_id bucketing of the two big tables (32 here; O(thousands) on
@@ -363,18 +384,6 @@ object CitationPipeline {
       .parquet(s"$outDir/_staged_refs")
     val staged =
       spark.read.parquet(s"$outDir/_staged_refs").as[ExtractedRow]
-    dedup(stagingFromRows(staged, domain)).foreach { case (name, df) =>
-      if (bucketedTables(name))
-        df.write.mode("overwrite")
-          .option("compression", "zstd")
-          .option("path", s"$outDir/$name")
-          .bucketBy(buckets, "page_id").sortBy("page_id")
-          .format("parquet")
-          .saveAsTable(servingTableName(name))
-      else
-        df.write.mode("overwrite")
-          .option("compression", "zstd")
-          .parquet(s"$outDir/$name")
-    }
+    writeTables(dedup(stagingFromRows(staged, domain)), outDir, buckets)
   }
 }

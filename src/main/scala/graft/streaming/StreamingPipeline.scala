@@ -64,10 +64,7 @@ object StreamingPipeline {
       .as[graft.pipeline.ExtractedRow]
     val tables =
       CitationPipeline.dedup(CitationPipeline.stagingFromRows(staged, domain))
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").option("compression", "zstd")
-        .parquet(s"$outDir/$name")
-    }
+    CitationPipeline.writeTables(tables, outDir)
     tables
   }
 }
