@@ -46,6 +46,9 @@ object VectorOps {
     // ---- learned-IVF ANN search: nprobe=2 over k-means cells ------------
     "q86_ivf_kmeans_search" -> ivfKmeansSearch,
 
+    // ---- product-quantization ANN: PQ codes + ADC search ----------------
+    "q92_pq_search" -> pqSearch,
+
     // ---- LSH-candidate near-dup: the 100 TB flagship near-dup path ------
     // Candidate pairs come from the random-hyperplane LSH bucket (one
     // map-side pass), exact cosine runs ONLY inside buckets — pair count
@@ -289,6 +292,68 @@ object VectorOps {
       .limit(10)
   }
 
+  /** Product quantization — the ANN memory-compression path: split the
+    * 64-dim vector into 4 subspaces of 16 dims, learn a small codebook
+    * per subspace (per-label subvector means, the deterministic seed
+    * quantizer), and store each vector as 4 short codes — 64 floats →
+    * 4 codes, the 100 TB trick that keeps a billion-vector index in
+    * RAM. Search is asymmetric distance computation (ADC): one
+    * distance table per subspace between the query and the codebook
+    * (k×4 entries, broadcast), then each candidate's approximate
+    * distance is 4 TABLE LOOKUPS summed — no per-candidate vector math
+    * at all. Same rounded-score determinism as the k-means build.
+    *
+    * Recall is data-dependent: on clustered corpora (the real-world
+    * case) the codebooks capture the clusters and ADC ranking tracks
+    * exact ranking (VectorSpec); the near-uniform synthetic embeddings
+    * are PQ's worst case, so there q92 is the machinery contract (ADC
+    * arithmetic bit-matched by the oracle), with exact re-ranking of
+    * an ADC shortlist as the documented production topping. */
+  lazy val pqSearch: Q = (s, d) => pqSearchOf(embDouble(s, d))
+
+  /** PQ over any (vec_id, label, v: ARRAY<DOUBLE>) frame whose dims
+    * are a multiple of 4; query = vec_id 0. */
+  def pqSearchOf(e: DataFrame): DataFrame = {
+    val sublen = "(size(v) div 4)"
+    // (vec_id, label, sub, sv): the 4 subvectors of every embedding
+    val sub = e.select(col("vec_id"), col("label"), explode(expr(
+      s"""transform(sequence(0, 3),
+           j -> struct(j AS sub, slice(v, j*$sublen + 1, $sublen) AS sv))"""))
+      .as("x"))
+      .select(col("vec_id"), col("label"),
+        col("x.sub").as("sub"), col("x.sv").as("sv"))
+    // per-subspace codebook: (sub, cid, cvec)
+    val cb = sub
+      .select(col("label").as("cid"), col("sub"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("sub", "cid", "pos").agg(round(avg("x"), 6).as("c"))
+      .groupBy("sub", "cid")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), p -> p.c)")
+        .as("cvec"))
+    // encode: nearest codebook entry per (vector, subspace)
+    val codes = sub.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct(
+          round(dotD("cvec", "cvec") - lit(2) * dotD("sv", "cvec"), 6)
+            .as("score"),
+          col("cid").as("cid")).as("sc"))
+      .groupBy("vec_id", "sub").agg(min("sc").as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("code"))
+    // ADC distance table for the query (vec_id = 0)
+    val qsub = sub.filter(col("vec_id") === 0)
+      .select(col("sub"), col("sv").as("qv"))
+    val table = cb.join(broadcast(qsub), "sub")
+      .select(col("sub"), col("cid").as("code"),
+        round(dotD("cvec", "cvec") - lit(2) * dotD("qv", "cvec"), 6)
+          .as("partial"))
+    codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(table), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(round(sum("partial"), 6).as("adc_score"))
+      .orderBy(col("adc_score").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** Shared DuckDB CTE chain for the learned-IVF oracles: exactly the
     * Spark computation — seed = label means, two assignment rounds with
     * round(|c|²−2v·c, 6) scores and cid tie-break, 6-dp centroids. */
@@ -326,6 +391,40 @@ object VectorOps {
            FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
 
   val oracle: Map[String, String] = Map(
+    "q92_pq_search" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         sub AS (SELECT vec_id, label, j AS sub,
+                   v[j*16 + 1 : j*16 + 16] AS sv
+                 FROM e, (SELECT unnest([0, 1, 2, 3]) AS j)),
+         cb AS (
+           SELECT sub, cid, list(c ORDER BY pos) AS cvec FROM (
+             SELECT sub, label AS cid, i - 1 AS pos, round(avg(x), 6) AS c
+             FROM (SELECT sub, label,
+                     unnest(range(1, len(sv) + 1)) AS i, unnest(sv) AS x
+                   FROM sub)
+             GROUP BY sub, label, i)
+           GROUP BY sub, cid),
+         codes AS (
+           SELECT vec_id, sub, cid AS code FROM (
+             SELECT s.vec_id, s.sub, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                 round(list_dot_product(c.cvec, c.cvec)
+                       - 2 * list_dot_product(s.sv, c.cvec), 6) ASC,
+                 c.cid ASC) AS rn
+             FROM sub s JOIN cb c ON s.sub = c.sub) WHERE rn = 1),
+         qsub AS (SELECT sub, sv AS qv FROM sub WHERE vec_id = 0),
+         tbl AS (
+           SELECT c.sub, c.cid AS code,
+             round(list_dot_product(c.cvec, c.cvec)
+                   - 2 * list_dot_product(q.qv, c.cvec), 6) AS partial
+           FROM cb c JOIN qsub q ON c.sub = q.sub)
+         SELECT codes.vec_id, round(sum(partial), 6) AS adc_score
+         FROM codes JOIN tbl
+           ON codes.sub = tbl.sub AND codes.code = tbl.code
+         WHERE codes.vec_id <> 0
+         GROUP BY codes.vec_id
+         ORDER BY adc_score ASC, vec_id ASC LIMIT 10""",
     "q84_lsh_neardup" ->
       """WITH b AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -49,6 +49,29 @@ class VectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ/ADC search recovers neighbors on clustered data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 5 tight clusters of 20 vectors in 8 dims: center c has coords
+    // (c+1)*2 everywhere; members perturb one dim by (i%4)*0.25.
+    // Query (vec_id 0) sits in cluster 0 — its true nearest neighbors
+    // are exactly its cluster, and PQ codebooks (seeded per label)
+    // capture the centers, so the ADC top-10 must stay in-cluster.
+    val rows = for {
+      c <- 0 until 5; i <- 0 until 20
+    } yield {
+      val base = Array.fill(8)((c + 1) * 2.0)
+      base(i % 8) += (i % 4) * 0.25
+      (c.toLong * 20 + i, c, base)
+    }
+    val e = rows.toDF("vec_id", "label", "v")
+    val top = VectorOps.pqSearchOf(e).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(top.length == 10)
+    assert(top.forall(id => id >= 1 && id < 20),
+      s"ADC neighbors left the query's cluster: ${top.toSeq}")
+  }
+
   test("q84 LSH near-dup pairs are a subset of exact all-pairs") {
     // Every LSH-candidate pair that passes the cosine threshold must
     // also appear in the exhaustive pair scan with the same score —
