@@ -26,13 +26,45 @@ object Resolve {
   /** Dense 1-based id in `sortCols` order, distributed via
     * orderBy + zipWithIndex. */
   def withSequentialId(
-      df: DataFrame, sortCols: Seq[String], idCol: String): DataFrame = {
+      df: DataFrame, sortCols: Seq[String], idCol: String): DataFrame =
+    withSequentialIdFrom(df, sortCols, idCol, 0L)
+
+  /** Dense ids starting at `offset` + 1 (same mechanism). */
+  def withSequentialIdFrom(
+      df: DataFrame, sortCols: Seq[String], idCol: String,
+      offset: Long): DataFrame = {
     val sorted = df.orderBy(sortCols.map(col): _*)
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
+      Row.fromSeq(r.toSeq :+ (offset + i + 1L))
     }
     df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Incremental id assignment — the engine's form of the reference's
+    * ON CONFLICT DO NOTHING load (models.py:74-141 driver,
+    * load_all.py:115-526): rows of `delta` whose natural key already
+    * exists in `existing` keep their existing id; genuinely new keys
+    * get dense ids continuing after the current maximum. Existing ids
+    * NEVER change, so an incremental run touches only the appended
+    * slice — no full re-resolve of 28.8B rows per ingest.
+    *
+    * Returns existing ∪ newly-idd rows (same schema as `existing`). */
+  def appendIds(
+      existing: DataFrame, delta: DataFrame,
+      naturalKey: Seq[String], idCol: String): DataFrame = {
+    val fresh = delta
+      .dropDuplicates(naturalKey)
+      .join(existing.select(naturalKey.map(col): _*),
+        naturalKey, "left_anti")
+    val maxId = existing.agg(max(col(idCol))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val newRows =
+      withSequentialIdFrom(fresh, naturalKey, idCol, maxId)
+    existing.unionByName(
+      newRows.select(existing.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Deduped staging tables → serving star schema (models.py layout:
