@@ -304,6 +304,27 @@ object TextOps {
             .as("redacted_md5"))
     }),
 
+    // ---- token-budget training shards ----------------------------------
+    // Pack documents into ~fixed-token-budget shards in a deterministic
+    // hash order — what a training data loader consumes. Needs a GLOBAL
+    // running token total; computed with the two-phase orderedCumsum
+    // (range partition + local window + broadcast offsets), never a
+    // single-partition window.
+    "q93_token_shards" -> ((s, d) => {
+      val budget = 2000L
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("ord",
+          md5(concat(lit("seed42:"), col("doc_id").cast("string"))))
+      orderedCumsum(docs, Seq("ord", "doc_id"), "n_tokens", "cum")
+        .withColumn("shard",
+          floor((col("cum") - col("n_tokens"))
+            .cast("double") / budget).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    }),
+
     // ---- benchmark decontamination: train/test n-gram overlap ----------
     // The pre-training hygiene pass: flag training docs sharing any
     // 3-gram shingle with a held-out benchmark set (here: every 97th
@@ -353,7 +374,61 @@ object TextOps {
     })
   )
 
+  /** Global running total over a total order WITHOUT a single-partition
+    * window (the thing Resolve's id assignment also avoids): range-
+    * partition on the order key, partition-LOCAL prefix sums via a
+    * window partitioned by `spark_partition_id()`, then add each
+    * partition's starting offset (one tiny row per partition, collected
+    * and broadcast back — same O(#partitions) driver footprint as
+    * zipWithIndex). Result values depend only on the total order, not
+    * on where the sampled range boundaries land. */
+  def orderedCumsum(
+      df: DataFrame, orderCols: Seq[String], valueCol: String,
+      out: String): DataFrame = {
+    val ranged = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id())
+    val localW = Window.partitionBy("_pid")
+      .orderBy(orderCols.map(col): _*)
+    val withLocal = ranged
+      .withColumn("_local", sum(col(valueCol)).over(localW))
+    val totals = withLocal.groupBy("_pid")
+      .agg(max("_local").as("_total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // pid -> sum of all earlier partitions' totals (robust to gaps
+    // from empty partitions)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(
+      totals.map { case (pid, _) => (pid, offsets.getOrElse(pid, 0L)) }
+        .toSeq.toDF("_pid", "_offset"))
+    withLocal.join(offsetDf, Seq("_pid"), "left_outer")
+      .withColumn(out,
+        col("_local") + coalesce(col("_offset"), lit(0L)))
+      .drop("_pid", "_local", "_offset")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q93_token_shards" ->
+      """SELECT shard, count(*) AS n_docs, sum(n_tokens) AS tokens FROM (
+           SELECT doc_id, n_tokens,
+             CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2000) AS BIGINT)
+               AS shard
+           FROM (
+             SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY ord, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+             FROM (
+               SELECT doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                   w -> w <> '')) AS BIGINT) AS n_tokens,
+                 md5('seed42:' || CAST(doc_id AS VARCHAR)) AS ord
+               FROM documents)))
+         GROUP BY shard""",
     "q89_contamination" ->
       """WITH sh AS (
            SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 2),

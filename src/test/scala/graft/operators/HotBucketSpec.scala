@@ -35,6 +35,24 @@ class HotBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped == 50L * 49 / 2 + 3)
   }
 
+  test("orderedCumsum is exact and independent of input partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (1L to 500L).map(i => (i, i % 7 + 1)).toDF("k", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.orderedCumsum(df, Seq("k"), "v", "cum")
+        .select("k", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1L to 500L)
+      .scanLeft((0L, 0L)) { case ((_, acc), k) => (k, acc + k % 7 + 1) }
+      .tail.toMap
+    assert(run(base) == expected)
+    // repartitioned arbitrarily → identical result (the range
+    // partitioning inside re-establishes the total order)
+    assert(run(base.repartition(13, col("v"))) == expected)
+    assert(run(base.coalesce(1)) == expected)
+  }
+
   test("the production cap does not bind at test scale (oracle parity)") {
     // q37/q87 run with MaxLshBucket; at the driver SFs every bucket is
     // far below it, so the uncapped DuckDB oracle still hash-matches.
