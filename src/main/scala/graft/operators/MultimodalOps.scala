@@ -186,7 +186,7 @@ object MultimodalOps {
          1 + n_bytes % 7 AS n_frames
          FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)""",
     "q44_modality_join" ->
-      """SELECT lang, label, count(*) AS n, sum(n_chars) AS total_chars
+      """SELECT lang, label, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents JOIN embeddings ON doc_id = vec_id
          GROUP BY lang, label"""
   )

@@ -357,12 +357,30 @@ object RelationalOps {
           count(lit(1)).as("n"))
     }),
 
-    // ---- approx distinct (HLL sketch; rows-only — approximations are
-    // engine-specific). ApproxSpec bounds the error vs exact. ----------
+    // ---- approx distinct: deterministic KMV (k-minimum-values) sketch.
+    // HLL (approx_count_distinct) is engine-specific so it can't be
+    // oracle-checked; KMV is the same bounded-memory idea with a fully
+    // portable definition: hash each key to a uniform 52-bit value
+    // (13 hex digits of md5 — exact in a double), keep the k smallest
+    // DISTINCT hashes, estimate D ≈ (k-1)/u_k with u_k the k-th
+    // smallest hash as a fraction of 2^52. The orderBy+limit(k) runs
+    // as TakeOrderedAndProject — per-partition top-k then a k-row
+    // driver merge, which IS the distributed KMV merge; dropDuplicates
+    // dedups map-side first. ApproxSpec still bounds Spark's native
+    // HLL against exact, and bounds this estimator's error.
     "q60_approx_distinct" -> ((s, d) => {
-      table(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        countDistinct("l_orderkey").as("exact_orders"))
+      val k = 64
+      val li = table(s, d, "lineitem")
+      val hv = conv(substring(md5(col("l_orderkey").cast("string")), 1, 13),
+        16, 10).cast("long")
+      val kth = li.select(hv.as("hv")).distinct()
+        .orderBy("hv").limit(k).agg(max("hv").as("kth"))
+      li.agg(countDistinct("l_orderkey").as("exact_orders"))
+        .crossJoin(kth)
+        .select(col("exact_orders"),
+          round(lit((k - 1).toDouble) /
+            (col("kth").cast("double") / lit(4503599627370496.0)), 4)
+            .as("kmv_est"))
     }),
 
     // ---- six-table star join (TPC-H Q5 shape): local-supplier revenue
@@ -651,7 +669,7 @@ object RelationalOps {
          FROM events GROUP BY 1, 2""",
     "q81_bool_aggs" ->
       """SELECT o_orderpriority,
-         sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS n_large,
+         CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
          bool_and(o_totalprice > 0) AS all_positive,
          bool_or(o_orderstatus = 'P') AS any_pending,
          count(*) AS n
@@ -684,11 +702,11 @@ object RelationalOps {
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "q68_pivot" ->
       """SELECT user_id,
-         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
          FROM events GROUP BY user_id""",
     "q69_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
@@ -724,6 +742,16 @@ object RelationalOps {
          GROUP BY o_orderkey, o_orderdate
          ORDER BY revenue DESC, o_orderkey ASC
          LIMIT 10""",
+    "q60_approx_distinct" ->
+      """WITH hv AS (
+           SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+           FROM lineitem),
+         kth AS (SELECT max(hv) AS kth
+                 FROM (SELECT hv FROM hv ORDER BY hv LIMIT 64)),
+         ex AS (SELECT count(DISTINCT l_orderkey) AS exact_orders FROM lineitem)
+         SELECT exact_orders,
+                round(63.0 / (CAST(kth AS DOUBLE) / 4503599627370496.0), 4) AS kmv_est
+         FROM ex, kth""",
     "q57_salted_agg" ->
       """SELECT l_returnflag,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -762,7 +790,7 @@ object RelationalOps {
                 coalesce(d.v_delta, e.v_exist) AS merged
          FROM e FULL OUTER JOIN d ON e.o_custkey = d.o_custkey""",
     "q29_sessionize" ->
-      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
          FROM (
            SELECT user_id,
                   CASE WHEN prev_ts IS NULL

@@ -325,6 +325,89 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
     }),
 
+    // ---- token-window chunking: the RAG / training-loader primitive ----
+    // Split each document into overlapping fixed-size token windows
+    // (size 64, stride 48) entirely map-side: tokenize, explode the
+    // window starts, slice. Zero shuffle — at 100 TB this is the
+    // embarrassingly parallel stage in front of tokenize/pack, and the
+    // narrow (doc_id, idx, len, hash) output is what actually moves.
+    "q94_chunk_windows" -> ((s, d) => {
+      table(s, d, "documents")
+        .withColumn("tokens", words(col("text")))
+        .filter(size(col("tokens")) > 0)
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, int((size(tokens) - 1) / 48)),
+               i -> slice(tokens, i * 48 + 1, 64))"""))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_len"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+    }),
+
+    // ---- count-min-sketch heavy hitters --------------------------------
+    // The bounded-memory alternative to an exact groupBy over an
+    // unbounded token vocabulary: a 4×1024 counter matrix (rows =
+    // independent hashes carved from one md5, like the MinHash slots)
+    // built with ONE map-side-combinable groupBy whose key space is
+    // fixed at 4096 cells regardless of corpus size. Probing takes
+    // min over the 4 rows — overestimates only. The oracle replicates
+    // the sketch exactly, so even the collision noise hash-matches.
+    "q95_cms_heavy_hitters" -> ((s, d) => {
+      val probes = Seq("scan", "column", "order", "merge", "join")
+      def cells(tok: Column) = array((0 until 4).map(j =>
+        struct(lit(j).as("j"),
+          (conv(substring(md5(tok), j * 8 + 1, 8), 16, 10)
+            .cast("long") % 1024).as("slot"))): _*)
+      val toks = table(s, d, "documents")
+        .select(explode(words(col("text"))).as("tok"))
+      val cms = toks
+        .select(explode(cells(col("tok"))).as("cell"))
+        .groupBy(col("cell.j").as("j"), col("cell.slot").as("slot"))
+        .agg(count(lit(1)).as("c"))
+      val probeCells = toks.sparkSession.createDataFrame(
+        probes.map(Tuple1(_))).toDF("tok")
+        .select(col("tok"), explode(cells(col("tok"))).as("cell"))
+        .select(col("tok"), col("cell.j").as("j"), col("cell.slot").as("slot"))
+      val est = probeCells.join(broadcast(cms), Seq("j", "slot"))
+        .groupBy("tok").agg(min("c").as("cms_est"))
+      val truth = toks.filter(col("tok").isin(probes: _*))
+        .groupBy("tok").agg(count(lit(1)).as("true_n"))
+      truth.join(est, Seq("tok"))
+    }),
+
+    // ---- broadcast Bloom-filter decontamination ------------------------
+    // q89 does exact train×bench 3-gram overlap with a shuffle hash
+    // join on the shingle key. The 100 TB plan is the other way round:
+    // build a Bloom filter (k=3 hashes, m=8192 bits, positions from
+    // md5 quarters) over the SMALL benchmark side and broadcast it, so
+    // the train side is screened entirely map-side with zero shuffle
+    // of its shingles; only the tiny flagged remainder needs the exact
+    // join. The bit-set is portable (sorted distinct positions), so
+    // the oracle reproduces false positives bit-for-bit. A production
+    // filter packs the positions into longs; membership here is
+    // array_contains on the broadcast array, same semantics.
+    "q97_bloom_decontam" -> ((s, d) => {
+      def pos(j: Int) =
+        conv(substring(md5(col("shingle")), j * 8 + 1, 8), 16, 10)
+          .cast("long") % 8192
+      val sh = shingled(s, d)
+      val bits = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(array(pos(0), pos(1), pos(2))).as("p"))
+        .agg(sort_array(collect_set(col("p"))).as("bits"))
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .crossJoin(broadcast(bits))
+        .withColumn("hit",
+          (array_contains(col("bits"), pos(0)) &&
+            array_contains(col("bits"), pos(1)) &&
+            array_contains(col("bits"), pos(2))).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum("hit").as("n_hit_shingles"),
+          count(lit(1)).as("n_shingles"))
+        .filter(col("n_hit_shingles") > 0)
+    }),
+
     // ---- benchmark decontamination: train/test n-gram overlap ----------
     // The pre-training hygiene pass: flag training docs sharing any
     // 3-gram shingle with a held-out benchmark set (here: every 97th
@@ -414,7 +497,7 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q93_token_shards" ->
-      """SELECT shard, count(*) AS n_docs, sum(n_tokens) AS tokens FROM (
+      """SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens FROM (
            SELECT doc_id, n_tokens,
              CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2000) AS BIGINT)
                AS shard
@@ -429,6 +512,65 @@ object TextOps {
                  md5('seed42:' || CAST(doc_id AS VARCHAR)) AS ord
                FROM documents)))
          GROUP BY shard""",
+    "q94_chunk_windows" ->
+      """SELECT doc_id,
+         CAST(unnest(range(0, ((len(tokens) - 1) // 48) + 1)) AS BIGINT)
+           AS chunk_idx,
+         CAST(unnest(list_transform(range(0, ((len(tokens) - 1) // 48) + 1),
+           i -> len(list_slice(tokens, CAST(i AS INT) * 48 + 1,
+                               CAST(i AS INT) * 48 + 64)))) AS BIGINT)
+           AS chunk_len,
+         unnest(list_transform(range(0, ((len(tokens) - 1) // 48) + 1),
+           i -> md5(array_to_string(list_slice(tokens, CAST(i AS INT) * 48 + 1,
+                                               CAST(i AS INT) * 48 + 64), ' '))))
+           AS chunk_hash
+         FROM (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+               FROM documents)
+         WHERE len(tokens) > 0""",
+    "q95_cms_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+             w -> w <> '')) AS tok FROM documents),
+         cells AS (
+           SELECT tok, CAST(j AS INT) AS j,
+             CAST(('0x' || substr(md5(tok), CAST(j AS INT) * 8 + 1, 8)) AS BIGINT) % 1024
+               AS slot
+           FROM toks, unnest(range(0, 4)) AS t(j)),
+         cms AS (SELECT j, slot, count(*) AS c FROM cells GROUP BY j, slot),
+         probes AS (SELECT unnest(['scan','column','order','merge','join']) AS tok),
+         pcells AS (
+           SELECT tok, CAST(j AS INT) AS j,
+             CAST(('0x' || substr(md5(tok), CAST(j AS INT) * 8 + 1, 8)) AS BIGINT) % 1024
+               AS slot
+           FROM probes, unnest(range(0, 4)) AS t(j)),
+         est AS (SELECT p.tok, min(c.c) AS cms_est
+                 FROM pcells p JOIN cms c ON p.j = c.j AND p.slot = c.slot
+                 GROUP BY p.tok),
+         truth AS (SELECT tok, count(*) AS true_n FROM toks
+                   WHERE tok IN ('scan','column','order','merge','join') GROUP BY tok)
+         SELECT truth.tok, true_n, cms_est FROM truth JOIN est USING (tok)""",
+    "q97_bloom_decontam" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 2),
+             i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' '))) AS shingle
+           FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+                 FROM documents)
+           WHERE len(tokens) >= 3),
+         pos AS (SELECT doc_id,
+           [CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 8192,
+            CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) % 8192,
+            CAST(('0x' || substr(md5(shingle), 17, 8)) AS BIGINT) % 8192] AS ps
+           FROM sh),
+         bits AS (SELECT list(DISTINCT p) AS bits
+                  FROM (SELECT unnest(ps) AS p FROM pos WHERE doc_id % 97 = 0)),
+         hits AS (SELECT doc_id,
+                    CASE WHEN list_has_all(bits, ps) THEN 1 ELSE 0 END AS hit
+                  FROM pos, bits WHERE doc_id % 97 <> 0)
+         SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_hit_shingles,
+                count(*) AS n_shingles
+         FROM hits GROUP BY doc_id HAVING sum(hit) > 0""",
     "q89_contamination" ->
       """WITH sh AS (
            SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 2),
@@ -477,9 +619,9 @@ object TextOps {
            FROM documents) WHERE rn = 1""",
     "q32_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-         sum(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS sum_ws_tokens,
-         sum(len(regexp_extract_all(text, '[a-z]+'))) AS sum_re_tokens,
-         sum(n_chars) AS total_chars,
+         CAST(sum(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS sum_ws_tokens,
+         CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_re_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
          CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
          FROM documents GROUP BY lang""",
     "q33_quality_score" ->
@@ -558,7 +700,7 @@ object TextOps {
            i -> md5(substr(text, i, 8)))) AS fp
          FROM documents""",
     "q71_dataset_split" ->
-      """SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+      """SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM (
            SELECT n_chars, CASE WHEN bucket < 80 THEN 'train'
                                 WHEN bucket < 90 THEN 'val'
@@ -580,7 +722,7 @@ object TextOps {
            FROM documents) WHERE rn <= 2""",
     "q73_quality_profile" ->
       """SELECT lang, count(*) AS n,
-         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
          min(n_chars) AS min_chars, max(n_chars) AS max_chars,
          CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
          count(DISTINCT source) AS n_sources

@@ -37,6 +37,36 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = lshQueries ++ Map(
+    // ---- int8 embedding quantization -----------------------------------
+    // The 4×-storage/bandwidth move every embedding store makes before
+    // ANN at scale: per-vector symmetric int8 (scale = max|v|/127,
+    // q_i = round(v_i/scale)), plus the reconstruction error the
+    // recall budget is judged by. Pure per-row codegen'd array lambdas,
+    // no shuffle. round-half-up is written floor(x + 0.5) so both
+    // engines agree bit-for-bit; q_sum/q_l1 are integer-exact
+    // checksums of the full quantized vector.
+    "q96_int8_quant" -> ((s, d) => {
+      table(s, d, "embeddings")
+        .withColumn("mx", expr(
+          """aggregate(embedding, CAST(0.0 AS DOUBLE),
+             (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"""))
+        .filter(col("mx") > 0)
+        .withColumn("scale", col("mx") / lit(127.0))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          expr("""aggregate(embedding, CAST(0 AS BIGINT),
+            (a, x) -> a + CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))""")
+            .as("q_sum"),
+          expr("""aggregate(embedding, CAST(0 AS BIGINT),
+            (a, x) -> a + abs(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))""")
+            .as("q_l1"),
+          round(sqrt(expr(
+            """aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) ->
+               a + (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+                 * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale))""")),
+            6).as("recon_err"))
+    }),
+
     // ---- full IVF probe: nearest centroid, then in-cell top-k ----------
     "q83_ivf_search" -> ivfSearch,
 
@@ -391,6 +421,24 @@ object VectorOps {
            FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
 
   val oracle: Map[String, String] = Map(
+    "q96_int8_quant" ->
+      """SELECT vec_id,
+         round(scale, 6) AS scale_r,
+         CAST(list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))
+           AS BIGINT) AS q_sum,
+         CAST(list_sum(list_transform(embedding,
+           x -> abs(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))))
+           AS BIGINT) AS q_l1,
+         round(sqrt(list_sum(list_transform(embedding,
+           x -> (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+              * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)))),
+           6) AS recon_err
+         FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+               FROM embeddings)
+         WHERE scale > 0""",
     "q92_pq_search" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),

@@ -190,7 +190,7 @@ object StreamingOps {
     // one still merges (verified against sf0.1 where such a gap
     // occurs), so a new session needs gap > 1800.
     "q67_session_window" ->
-      """SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+      """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
          FROM (
            SELECT user_id, CASE WHEN prev_sec IS NULL
                                      OR sec - prev_sec > 1800

@@ -107,4 +107,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!df.queryExecution.executedPlan.toString
       .contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q94: chunking is map-only — zero exchanges") {
+    val plan = executedPlanString("q94_chunk_windows")
+    assert(!plan.contains("Exchange"),
+      "token-window chunking must not shuffle")
+  }
+
+  test("q97: Bloom screen broadcasts the bit set; " +
+    "train shingles are never shuffled") {
+    val df = SparkEntry.queries("q97_bloom_decontam")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    // the only shuffle is the final per-doc aggregation on doc_id —
+    // the membership test itself must not shuffle the shingle stream
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles\n$plan")
+  }
 }

@@ -27,8 +27,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def h(df: pd.DataFrame) -> str:
-    return hashlib.md5(
-        df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
+    # Stringify every cell with full-precision str(): stricter than any
+    # plausible driver hash — catches int64-vs-float64 dtype drift
+    # (DuckDB sum(int) -> HUGEINT -> float64 "2.0" vs Spark long "2")
+    # and last-ulp double differences that %.10g would round away.
+    s = df.astype(object).where(df.notna(), None).map(
+        lambda v: "\0" if v is None else str(v))
+    return hashlib.md5(s.to_csv(index=False).encode()).hexdigest()
 
 
 def main():
