@@ -118,6 +118,84 @@ object ScaleProbe {
             struct(score.as("score"), col("cid").as("cid")).as("sc"))
           .groupBy("vec_id").agg(min("sc").as("m"))
       }),
+      "chunking" -> (k => {
+        // q94 shape: pure map-side explode — the ratio should track
+        // raw data volume with zero shuffle amplification.
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        scaled("documents", k, "doc_id")
+          .withColumn("tokens", toks)
+          .filter(size(col("tokens")) > 0)
+          .select(col("doc_id"),
+            posexplode(expr(
+              """transform(sequence(0, int((size(tokens) - 1) / 48)),
+                 i -> slice(tokens, i * 48 + 1, 64))"""))
+              .as(Seq("chunk_idx", "chunk")))
+          .select(md5(concat_ws(" ", col("chunk"))).as("h"))
+      }),
+      "bloom_screen" -> (k => {
+        // q97 shape: the benchmark side scales with the corpus but the
+        // broadcast bit set is capped at m=8192 positions, so the train
+        // screen must stay linear map-side work.
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        val sh = scaled("documents", k, "doc_id")
+          .withColumn("tokens", toks)
+          .filter(size(col("tokens")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(tokens) - 3),
+               i -> concat_ws(' ', slice(tokens, i + 1, 3)))"""))
+            .as("shingle"))
+        def pos(j: Int) =
+          conv(substring(md5(col("shingle")), j * 8 + 1, 8), 16, 10)
+            .cast("long") % 8192
+        val bits = sh.filter(col("doc_id") % 97 === 0)
+          .select(explode(array(pos(0), pos(1), pos(2))).as("p"))
+          .agg(sort_array(collect_set(col("p"))).as("bits"))
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .crossJoin(broadcast(bits))
+          .withColumn("hit",
+            (array_contains(col("bits"), pos(0)) &&
+              array_contains(col("bits"), pos(1)) &&
+              array_contains(col("bits"), pos(2))).cast("long"))
+          .groupBy("doc_id")
+          .agg(sum("hit").as("n_hit"))
+          .filter(col("n_hit") > 0)
+      }),
+      "dup_spans" -> (k => {
+        // q100 shape: span explode + count. Output is bounded by real
+        // duplication — shifted copies duplicate every span k×, so rows
+        // grow with the duplicated set, but the work per span is one
+        // map-side-combined count either way.
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        scaled("documents", k, "doc_id")
+          .withColumn("tokens", toks)
+          .filter(size(col("tokens")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(tokens) - 5),
+               i -> concat_ws(' ', slice(tokens, i + 1, 5)))""")).as("span"))
+          .groupBy("span")
+          .agg(countDistinct("doc_id").as("n_docs"))
+          .filter(col("n_docs") >= 2)
+      }),
+      "simhash_sigs" -> (k => {
+        // q101 signature build: 64 bit-sums in one aggregation — must
+        // stay linear in the token stream.
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        val t = scaled("documents", k, "doc_id")
+          .withColumn("tokens", toks)
+          .select(col("doc_id"), explode(col("tokens")).as("tok"))
+          .withColumn("h", md5(col("tok")))
+        val sums = for (j <- 0 to 3; i <- 1 to 16) yield
+          sum(when((shiftright(conv(substring(col("h"), i, 1), 16, 10)
+            .cast("int"), j) % 2) === 1, 1).otherwise(-1)).as(s"s${j}_$i")
+        t.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      }),
+      "grouped_cumsum" -> (k =>
+        graft.operators.TextOps.groupedOrderedCumsum(
+          scaled("documents", k, "doc_id")
+            .select(col("doc_id"), col("source"),
+              col("n_chars").cast("long").as("v"))
+            .withColumn("ord", md5(col("doc_id").cast("string"))),
+          Seq("source"), Seq("ord", "doc_id"), "v", "cum")),
       "label_blocked_cosine" -> (k => {
         graft.functions.GraftFunctions.register(spark)
         // labels shifted too: block sizes stay constant, total linear.

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables.table
+
 /** Graph-shaped operators for training-data curation — here: near-dup
   * CLUSTERING. LSH (q37) emits candidate PAIRS; a dedup pipeline needs
   * components ("this group of documents is one duplicate family, keep
@@ -89,13 +91,37 @@ object GraphOps {
     // oracle can replay it.
     "q87_neardup_clusters" -> ((s, d) =>
       connectedComponentsFixed(TextOps.lshPairs(s, d), rounds = 6)
-        .select(col("id").as("doc_id"), col("comp").as("component"))))
+        .select(col("id").as("doc_id"), col("comp").as("component"))),
 
-  val oracle: Map[String, String] = Map(
-    "q87_neardup_clusters" ->
-      // Same LSH pair derivation as q37, then transitive closure via a
-      // recursive CTE: component(id) = min id reachable from id.
-      """WITH RECURSIVE sigs AS (
+    // ---- dedup APPLY: clusters → keep-list -----------------------------
+    // The step a curation pipeline actually ships: every document maps
+    // to its duplicate family (docs outside any LSH pair are their own
+    // singleton family), the canonical survivor is the min doc_id, and
+    // the output is one row per SURVIVOR with how much the dedup pass
+    // dropped. Corpus-side work is one left join against the (tiny)
+    // component map + one groupBy — no per-family driver logic, so the
+    // keep-list materializes at corpus scale.
+    "q98_dedup_apply" -> ((s, d) => {
+      val comp = connectedComponentsFixed(TextOps.lshPairs(s, d), rounds = 6)
+        .withColumnRenamed("id", "doc_id")
+      table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left_outer")
+        .withColumn("component", coalesce(col("comp"), col("doc_id")))
+        .groupBy("component")
+        .agg(count(lit(1)).as("family_size"),
+          max(when(col("doc_id") === col("component"), col("n_chars")))
+            .cast("long").as("n_chars_kept"),
+          sum(when(col("doc_id") =!= col("component"), col("n_chars"))
+            .otherwise(0)).cast("long").as("n_chars_dropped"))
+        .select(col("component").as("doc_id"), col("family_size"),
+          col("n_chars_kept"), col("n_chars_dropped"))
+    }))
+
+  // Same LSH pair derivation as q37, then transitive closure via a
+  // recursive CTE: component(id) = min id reachable from id.
+  private val reachCte =
+    """WITH RECURSIVE sigs AS (
            SELECT doc_id,
              md5(min(substr(md5(shingle), 1, 8))
                  || min(substr(md5(shingle), 9, 8))) AS b0,
@@ -122,7 +148,25 @@ object GraphOps {
          reach(id, r) AS (
            SELECT src, src FROM edges
            UNION
-           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)"""
+
+  val oracle: Map[String, String] = Map(
+    "q87_neardup_clusters" ->
+      s"""$reachCte
          SELECT id AS doc_id, min(r) AS component
-         FROM reach GROUP BY id""")
+         FROM reach GROUP BY id""",
+
+    "q98_dedup_apply" ->
+      s"""$reachCte,
+         comp AS (SELECT id AS doc_id, min(r) AS component
+                  FROM reach GROUP BY id)
+         SELECT coalesce(c.component, d.doc_id) AS doc_id,
+                count(*) AS family_size,
+                CAST(max(CASE WHEN d.doc_id = coalesce(c.component, d.doc_id)
+                              THEN d.n_chars END) AS BIGINT) AS n_chars_kept,
+                CAST(sum(CASE WHEN d.doc_id <> coalesce(c.component, d.doc_id)
+                              THEN d.n_chars ELSE 0 END) AS BIGINT)
+                  AS n_chars_dropped
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         GROUP BY coalesce(c.component, d.doc_id)""")
 }

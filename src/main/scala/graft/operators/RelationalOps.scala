@@ -58,13 +58,20 @@ object RelationalOps {
       table(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
 
     // ---- A2/W5: key dedup with deterministic survivor (DISTINCT ON) ----
+    // min(struct(ordering...)) is lexicographic, so it selects exactly
+    // the row_number()=1 survivor — but as a map-side-combinable
+    // aggregate: each partition pre-reduces to one row per key before
+    // the shuffle, instead of sorting every row inside a window. At
+    // 100 TB that's the difference between shuffling n rows and
+    // shuffling ~distinct-keys rows. (The oracle keeps the DISTINCT ON
+    // row_number formulation — same semantics, independent derivation.)
     "q04_dedup_keys" -> ((s, d) => {
-      val w = Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
       table(s, d, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(min(struct(col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))).as("m"))
+        .select(col("l_orderkey"), col("m.l_linenumber"),
+          col("m.l_partkey"))
     }),
 
     // ---- A4: per-key column merge (max skips nulls = prefer-non-null) --
@@ -363,20 +370,21 @@ object RelationalOps {
     // portable definition: hash each key to a uniform 52-bit value
     // (13 hex digits of md5 — exact in a double), keep the k smallest
     // DISTINCT hashes, estimate D ≈ (k-1)/u_k with u_k the k-th
-    // smallest hash as a fraction of 2^52. The orderBy+limit(k) runs
-    // as TakeOrderedAndProject — per-partition top-k then a k-row
-    // driver merge, which IS the distributed KMV merge; dropDuplicates
-    // dedups map-side first. ApproxSpec still bounds Spark's native
-    // HLL against exact, and bounds this estimator's error.
+    // smallest hash as a fraction of 2^52. u_k comes from the custom
+    // bounded-state KmvSketch aggregator (graft.functions): each map
+    // partition ships AT MOST k longs into the merge — no shuffle of
+    // the distinct key set (KmvSpec pins equivalence to the
+    // distinct+TakeOrdered formulation and partition independence).
+    // ApproxSpec still bounds Spark's native HLL against exact, and
+    // bounds this estimator's error.
     "q60_approx_distinct" -> ((s, d) => {
       val k = 64
       val li = table(s, d, "lineitem")
       val hv = conv(substring(md5(col("l_orderkey").cast("string")), 1, 13),
         16, 10).cast("long")
-      val kth = li.select(hv.as("hv")).distinct()
-        .orderBy("hv").limit(k).agg(max("hv").as("kth"))
-      li.agg(countDistinct("l_orderkey").as("exact_orders"))
-        .crossJoin(kth)
+      val kmvKth = udaf(new graft.functions.KmvSketch(k))
+      li.agg(countDistinct("l_orderkey").as("exact_orders"),
+          kmvKth(hv).as("kth"))
         .select(col("exact_orders"),
           round(lit((k - 1).toDouble) /
             (col("kth").cast("double") / lit(4503599627370496.0)), 4)

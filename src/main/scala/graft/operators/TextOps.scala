@@ -52,6 +52,24 @@ object TextOps {
         min(substring(h, 25, 8)).as("sig3"))
   }
 
+  /** 64-bit SimHash as four 16-bit bit-PLANES: plane j, char i holds
+    * bit j of md5-hex-digit i (i = 1..16). All 64 bit-sums ride one
+    * groupBy with map-side combine, and each plane renders as a 16-char
+    * '0'/'1' string so band keys and Hamming checks stay portable
+    * across engines. */
+  private def simhashPlanes(s: SparkSession, d: String): DataFrame = {
+    val toks = table(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = for (j <- 0 to 3; i <- 1 to 16) yield
+      sum(when((shiftright(conv(substring(col("h"), i, 1), 16, 10)
+        .cast("int"), j) % 2) === 1, 1).otherwise(-1)).as(s"s${j}_$i")
+    toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id") +: (0 to 3).map(j =>
+        concat((1 to 16).map(i =>
+          when(col(s"s${j}_$i") > 0, "1").otherwise("0")): _*).as(s"p$j")): _*)
+  }
+
   private val stop = Seq("the", "a", "of", "and", "to")
 
   /** Degenerate LSH buckets above this size are dropped rather than
@@ -384,24 +402,36 @@ object TextOps {
     // md5 quarters) over the SMALL benchmark side and broadcast it, so
     // the train side is screened entirely map-side with zero shuffle
     // of its shingles; only the tiny flagged remainder needs the exact
-    // join. The bit-set is portable (sorted distinct positions), so
-    // the oracle reproduces false positives bit-for-bit. A production
-    // filter packs the positions into longs; membership here is
-    // array_contains on the broadcast array, same semantics.
+    // join. The filter is packed into a dense 128-word bitmask, so a
+    // membership probe is O(1): element_at + shift + mask (an
+    // array_contains over the raw position list scanned ~8k entries
+    // per probe — 6× slower end-to-end at sf0.1). The bit layout is
+    // portable (bit p ⇔ position p), so the oracle — which checks raw
+    // position membership — reproduces false positives bit-for-bit.
     "q97_bloom_decontam" -> ((s, d) => {
       def pos(j: Int) =
         conv(substring(md5(col("shingle")), j * 8 + 1, 8), 16, 10)
           .cast("long") % 8192
+      def bitTest(j: Int) = expr(
+        s"""(shiftright(element_at(words, int(p$j div 64) + 1),
+            int(p$j % 64)) & 1) = 1""")
       val sh = shingled(s, d)
-      val bits = sh.filter(col("doc_id") % 97 === 0)
+      val words = sh.filter(col("doc_id") % 97 === 0)
         .select(explode(array(pos(0), pos(1), pos(2))).as("p"))
-        .agg(sort_array(collect_set(col("p"))).as("bits"))
+        .agg(collect_set(col("p")).as("ps"))
+        .select(expr(
+          """transform(sequence(0, 127), i ->
+               aggregate(filter(ps, p -> int(p div 64) = i),
+                 CAST(0 AS BIGINT),
+                 (acc, p) -> acc | shiftleft(CAST(1 AS BIGINT),
+                                             int(p % 64))))""")
+          .as("words"))
       sh.filter(col("doc_id") % 97 =!= 0)
-        .crossJoin(broadcast(bits))
+        .withColumn("p0", pos(0)).withColumn("p1", pos(1))
+        .withColumn("p2", pos(2))
+        .crossJoin(broadcast(words))
         .withColumn("hit",
-          (array_contains(col("bits"), pos(0)) &&
-            array_contains(col("bits"), pos(1)) &&
-            array_contains(col("bits"), pos(2))).cast("long"))
+          (bitTest(0) && bitTest(1) && bitTest(2)).cast("long"))
         .groupBy("doc_id")
         .agg(sum("hit").as("n_hit_shingles"),
           count(lit(1)).as("n_shingles"))
@@ -454,6 +484,141 @@ object TextOps {
             size(array_intersect(col("a_set"), col("b_set"))).cast("double")
               / size(array_union(col("a_set"), col("b_set"))), 6)
             .as("jaccard"))
+    }),
+
+    // ---- unigram LM quality score (perplexity proxy) -------------------
+    // Two passes: (1) corpus unigram counts — one groupBy with map-side
+    // combine, vocabulary-sized output; (2) score every token by its
+    // corpus log-probability via a BROADCAST vocab join (at 100 TB the
+    // broadcast is the top-V vocabulary + an OOV floor; here the full
+    // vocab IS tiny). Per-token scores are floored to integer
+    // micro-nats, so the per-doc sums are exact integer arithmetic —
+    // order-independent and engine-portable, where raw double sums
+    // would drift in the last ulp between engines.
+    "q99_unigram_logprob" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      // persisted: the (tiny) vocab feeds BOTH the broadcast join and
+      // the total — without it each subtree re-scans the token stream
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = vocab.agg(sum("cnt").as("total"))
+      toks.join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("micro",
+          floor(log(col("cnt").cast("double") / col("total").cast("double"))
+            * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum("micro").as("logprob_micro"))
+        .select(col("doc_id"), col("n_toks"), col("logprob_micro"),
+          floor(col("logprob_micro").cast("double") / col("n_toks"))
+            .cast("long").as("avg_micro"))
+    }),
+
+    // ---- cross-document duplicated spans (exact substring dedup) -------
+    // The discovery stage of exact-substring dedup (the "memorized
+    // span" pass): every 5-token window, hashed and counted across the
+    // corpus; spans seen in ≥2 distinct documents come back with their
+    // document- and occurrence-counts. One shuffle on the span key with
+    // map-side partial aggregation; output is bounded by the number of
+    // ACTUALLY duplicated spans, never the corpus. A 100 TB run keys by
+    // the span hash only (the span text stays with a sample doc);
+    // oracle-portability keeps the literal span here.
+    "q100_dup_spans" -> ((s, d) => {
+      table(s, d, "documents")
+        .withColumn("tokens", words(col("text")))
+        .filter(size(col("tokens")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(tokens) - 5),
+             i -> concat_ws(' ', slice(tokens, i + 1, 5)))""")).as("span"))
+        .groupBy("span")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+    }),
+
+    // ---- SimHash near-dup: banded buckets + Hamming verify -------------
+    // The SimHash analogue of q84's LSH→cosine: 64-bit signatures
+    // (4 bit-planes over the first 16 md5 hex digits — 64 sums in ONE
+    // map-side-combinable aggregation), banded into two 32-bit keys so
+    // candidates are docs agreeing on half the signature; only
+    // candidates get the exact 64-bit Hamming check (≤8 bits ⇒
+    // near-dup). Buckets are hot-capped like LSH; the pair stage is
+    // bounded by bucket size, never corpus size.
+    "q101_simhash_neardup" -> ((s, d) => {
+      val sigs = simhashPlanes(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = sigs
+        .select(col("doc_id"), explode(map(
+          lit(0), concat(col("p0"), col("p1")),
+          lit(1), concat(col("p2"), col("p3"))))
+          .as(Seq("band_id", "band")))
+        .groupBy("band_id", "band")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxLshBucket)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+               transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+                 struct(x AS a_id, y AS b_id))))""")).as("p"))
+        .select(col("p.a_id"), col("p.b_id"))
+        .distinct()
+      val l = (0 to 3).foldLeft(
+        sigs.withColumnRenamed("doc_id", "a_id"))((f, j) =>
+        f.withColumnRenamed(s"p$j", s"l$j"))
+      val r = (0 to 3).foldLeft(
+        sigs.withColumnRenamed("doc_id", "b_id"))((f, j) =>
+        f.withColumnRenamed(s"p$j", s"r$j"))
+      val hamming = (0 to 3).map(j => expr(
+        s"""size(filter(sequence(1, 16),
+            i -> substring(l$j, i, 1) <> substring(r$j, i, 1)))"""))
+        .reduce(_ + _)
+      pairs.join(l, "a_id").join(r, "b_id")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(col("hamming") <= 8)
+        .select("a_id", "b_id", "hamming")
+    }),
+
+    // ---- quality-weighted importance sampling --------------------------
+    // Deterministic per-row accept/reject with P(keep) = min(1,
+    // n_chars/400): u is 16 uniform bits from the doc's seeded md5, and
+    // the accept test `u * 400 < min(n_chars,400) * 65536` is PURE
+    // INTEGER arithmetic — no float threshold, so the sample is
+    // bit-identical on any engine, any partitioning, any corpus growth
+    // (adding documents never flips an existing decision — the same
+    // property the q71 split relies on). Entirely map-side.
+    "q102_weighted_sample" -> ((s, d) => {
+      def hexDigit(i: Int) = expr(
+        s"locate(substring(md5(concat('wsample:', CAST(doc_id AS STRING))), $i, 1), " +
+          "'0123456789abcdef') - 1")
+      val u = (((hexDigit(1) * 16 + hexDigit(2)) * 16 + hexDigit(3)) * 16
+        + hexDigit(4)).cast("long")
+      table(s, d, "documents")
+        .withColumn("u16", u)
+        .filter(col("u16") * 400 < least(col("n_chars"), lit(400L)) * 65536)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // ---- per-source token-budget mixture -------------------------------
+    // Data-mixture construction: each source contributes documents in a
+    // deterministic hash order until its token budget fills (greedy
+    // prefix — the last doc may straddle the boundary). The running
+    // per-source total uses groupedOrderedCumsum: the grouped variant
+    // of the q93 two-phase prefix sum, so no source ever funnels
+    // through a single-partition window regardless of its size.
+    "q103_source_mixture" -> ((s, d) => {
+      val budget = 3000L
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("ord",
+          md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+      groupedOrderedCumsum(docs, Seq("source"), Seq("ord", "doc_id"),
+          "n_tokens", "cum")
+        .filter(col("cum") - col("n_tokens") < budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tokens_kept"))
     })
   )
 
@@ -490,6 +655,64 @@ object TextOps {
       totals.map { case (pid, _) => (pid, offsets.getOrElse(pid, 0L)) }
         .toSeq.toDF("_pid", "_offset"))
     withLocal.join(offsetDf, Seq("_pid"), "left_outer")
+      .withColumn(out,
+        col("_local") + coalesce(col("_offset"), lit(0L)))
+      .drop("_pid", "_local", "_offset")
+  }
+
+  /** Per-GROUP running total over a per-group total order — the grouped
+    * generalization of [[orderedCumsum]]. Range-partition on (group,
+    * order) so each group's rows are contiguous across partitions,
+    * prefix-sum LOCALLY per (partition, group), then add the group's
+    * running offset from earlier partitions (one tiny row per
+    * (partition, group) collected and broadcast back). No group is ever
+    * confined to one partition, so a skewed giant source still spreads
+    * across the cluster. */
+  def groupedOrderedCumsum(
+      df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, out: String): DataFrame = {
+    val rangeCols = (groupCols ++ orderCols).map(col)
+    val ranged = df
+      .repartitionByRange(rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val localW = Window
+      .partitionBy((col("_pid") +: groupCols.map(col)): _*)
+      .orderBy(orderCols.map(col): _*)
+    val withLocal = ranged
+      .withColumn("_local", sum(col(valueCol)).over(localW))
+    // one row per (partition, group): that partition's total for the
+    // group. Collected driver-side (O(partitions × groups-per-boundary),
+    // tiny) to build each group's cross-partition prefix offsets.
+    val totals = withLocal
+      .groupBy(("_pid" +: groupCols).map(col): _*)
+      .agg(max("_local").as("_total"))
+      .collect()
+      .map(r => (r.getInt(0),
+        groupCols.indices.map(i => r.get(i + 1)).toList,
+        r.getLong(groupCols.size + 1)))
+    val offsets = totals
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (g, rows) =>
+        val sorted = rows.sortBy(_._1)
+        sorted.map(_._1)
+          .zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (pid, off) => (pid, g) -> off }
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetRows = offsets.toSeq.map { case ((pid, g), off) =>
+      org.apache.spark.sql.Row.fromSeq(pid +: g :+ off)
+    }
+    val offsetSchema = org.apache.spark.sql.types.StructType(
+      withLocal.schema("_pid") +:
+        groupCols.map(c => df.schema(c)) :+
+        org.apache.spark.sql.types.StructField("_offset",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val offsetDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offsetSchema))
+    withLocal.join(offsetDf, "_pid" +: groupCols, "left_outer")
       .withColumn(out,
         col("_local") + coalesce(col("_offset"), lit(0L)))
       .drop("_pid", "_local", "_offset")
@@ -764,6 +987,91 @@ object TextOps {
          JOIN (SELECT doc_id, list_sort(list_distinct(
                  list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS wset
                FROM documents) b
-           ON a.doc_id + 1 = b.doc_id"""
+           ON a.doc_id + 1 = b.doc_id""",
+
+    "q99_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+             w -> w <> '')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         tot AS (SELECT count(*) AS total FROM toks)
+         SELECT doc_id, count(*) AS n_toks,
+                CAST(sum(micro) AS BIGINT) AS logprob_micro,
+                CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT)
+                  AS avg_micro
+         FROM (SELECT doc_id,
+                 CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT)
+                   AS micro
+               FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
+         GROUP BY doc_id""",
+
+    "q100_dup_spans" ->
+      """SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 4),
+             i -> array_to_string(list_slice(tokens, i + 1, i + 5), ' ')))
+             AS span
+           FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), w -> w <> '')
+                     AS tokens
+                 FROM documents)
+           WHERE len(tokens) >= 5)
+         GROUP BY span HAVING count(DISTINCT doc_id) >= 2""",
+
+    "q101_simhash_neardup" -> {
+      def bitsum(i: Int, j: Int) =
+        s"sum(CASE WHEN (CAST(('0x' || substr(md5(tok), $i, 1)) AS INT) " +
+          s"// ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END)"
+      val planes = (0 to 3).map(j =>
+        "(" + (1 to 16).map(i =>
+          s"CASE WHEN ${bitsum(i, j)} > 0 THEN '1' ELSE '0' END")
+          .mkString(" || ") + s") AS p$j").mkString(", ")
+      val ham = (0 to 3).map(j =>
+        s"len(list_filter(range(1, 17), i -> substr(l.p$j, i, 1) <> substr(r.p$j, i, 1)))")
+        .mkString(" + ")
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+              w -> w <> '')) AS tok
+            FROM documents),
+          sigs AS (SELECT doc_id, $planes FROM toks GROUP BY doc_id),
+          pairs AS (SELECT DISTINCT a_id, b_id FROM (
+            SELECT l.doc_id AS a_id, r.doc_id AS b_id FROM sigs l JOIN sigs r
+              ON l.p0 = r.p0 AND l.p1 = r.p1 AND l.doc_id < r.doc_id
+            UNION ALL
+            SELECT l.doc_id AS a_id, r.doc_id AS b_id FROM sigs l JOIN sigs r
+              ON l.p2 = r.p2 AND l.p3 = r.p3 AND l.doc_id < r.doc_id))
+          SELECT a_id, b_id, CAST($ham AS BIGINT) AS hamming
+          FROM pairs JOIN sigs l ON a_id = l.doc_id
+                     JOIN sigs r ON b_id = r.doc_id
+          WHERE $ham <= 8"""
+    },
+
+    "q102_weighted_sample" -> {
+      def hexDigit(i: Int) =
+        s"(strpos('0123456789abcdef', substr(md5('wsample:' || " +
+          s"CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+      s"""SELECT doc_id, lang, source, n_chars
+          FROM documents
+          WHERE (((${hexDigit(1)} * 16 + ${hexDigit(2)}) * 16
+                  + ${hexDigit(3)}) * 16 + ${hexDigit(4)}) * 400
+                < least(n_chars, 400) * 65536"""
+    },
+
+    "q103_source_mixture" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+         FROM (
+           SELECT source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM (
+             SELECT doc_id, source,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 w -> w <> '')) AS BIGINT) AS n_tokens,
+               md5('mix:' || CAST(doc_id AS VARCHAR)) AS ord
+             FROM documents))
+         WHERE cum - n_tokens < 3000
+         GROUP BY source"""
   )
 }

@@ -179,6 +179,45 @@ object VectorOps {
           count(lit(1)).as("n"))
     }),
 
+    // ---- embedding outliers: distance-to-centroid quality filter -------
+    // The SemDeDup-style prototypicality screen: score every vector by
+    // its squared distance to its label centroid, keep the top-5
+    // outliers per label (the candidates a curation pass reviews or
+    // drops). Top-k per group is TWO-PHASE: each partition pre-reduces
+    // to ≤k candidates per label via sort_array(collect_list)[1..k]
+    // (partition-bounded state), and only those ≤ k·P survivors hit the
+    // final per-label rank — the full corpus is never window-sorted.
+    // Distances use the same sequential-double formulation as the IVF
+    // ladder, so round(·,6) is bit-identical to the oracle.
+    "q104_embedding_outliers" -> ((s, d) => {
+      val e = embDouble(s, d)
+      val cents = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(round(avg("x"), 6).as("c"))
+        .groupBy("label")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(pos, c))), p -> p.c)")
+          .as("cvec"))
+      val scored = e.join(broadcast(cents), "label")
+        .withColumn("dist2",
+          round(dotD("v", "v") - lit(2) * dotD("v", "cvec")
+            + dotD("cvec", "cvec"), 6))
+        .select("label", "vec_id", "dist2")
+      val local = scored
+        .withColumn("_pid", spark_partition_id())
+        .groupBy("label", "_pid")
+        .agg(expr("""slice(sort_array(collect_list(
+               struct(-dist2 AS nd, vec_id AS vec_id, dist2 AS dist2))),
+             1, 5)""").as("top"))
+        .select(col("label"), explode(col("top")).as("t"))
+        .select(col("label"), col("t.vec_id"), col("t.dist2"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("dist2").desc, col("vec_id").asc)
+      local.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("label", "vec_id", "dist2")
+    }),
+
     // ---- LSH-bucketed ANN: the scale path for similarity search --------
     // Buckets are computed map-side (no shuffle); at cluster scale the
     // search fans out to one bucket (plus neighbors for recall), turning
@@ -281,8 +320,16 @@ object VectorOps {
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = embDouble(s, d)
     val seed = centroidsOf(e.withColumn("cid", col("label")))
+    // Persist both index artifacts: Spark's cache manager matches on
+    // the canonicalized plan, so q85 (build) and q86 (search) — and
+    // the two references to c1 inside the search itself — share one
+    // Lloyd run instead of re-deriving it per action (same pattern as
+    // WikitextOps' shared extraction).
     val c1 = centroidsOf(assignTo(e, seed))
-    (assignTo(e, c1), c1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a2 = assignTo(e, c1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (a2, c1)
   }
 
   /** q85: learned centroids after the second assignment's update, with
@@ -537,6 +584,28 @@ object VectorOps {
                  unnest(CAST(embedding AS DOUBLE[])) AS v
                FROM embeddings)
          GROUP BY label, i""",
+    "q104_embedding_outliers" ->
+      """WITH cent AS (
+           SELECT label, list(c ORDER BY i) AS cvec FROM (
+             SELECT label, i, round(avg(v), 6) AS c
+             FROM (SELECT label,
+                     unnest(range(1, len(embedding) + 1)) AS i,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v
+                   FROM embeddings)
+             GROUP BY label, i)
+           GROUP BY label),
+         scored AS (
+           SELECT e.label, e.vec_id,
+             round(list_dot_product(v, v) - 2 * list_dot_product(v, cvec)
+                   + list_dot_product(cvec, cvec), 6) AS dist2
+           FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings) e
+           JOIN cent ON e.label = cent.label)
+         SELECT label, vec_id, dist2 FROM (
+           SELECT label, vec_id, dist2, row_number() OVER (
+             PARTITION BY label ORDER BY dist2 DESC, vec_id ASC) AS rn
+           FROM scored)
+         WHERE rn <= 5""",
     "q49_lsh_buckets" ->
       """SELECT bucket, count(*) AS n, min(vec_id) AS min_vec,
          max(vec_id) AS max_vec FROM (
