@@ -171,14 +171,18 @@ object TextOps {
     // Per-language markers alternated into ONE regex each (the OR pairs
     // were separate rlike passes — 5 regex evaluations/row max instead
     // of 8, same predictions).
+    // one tokenize pass + set membership — not six regex scans of the
+    // raw text per row (the stopword-marker heuristic is about WORDS,
+    // so membership in the token array is also the truer semantics)
     "q34_lang_id" -> ((s, d) => {
-      val t = col("text")
+      val tk = col("tokens")
       table(s, d, "documents")
+        .withColumn("tokens", words(col("text")))
         .withColumn("predicted",
-          when(t.rlike("\\bthe\\b") && t.rlike("\\band\\b"), "en")
-            .when(t.rlike("\\b(der|und)\\b"), "de")
-            .when(t.rlike("\\b(el|los)\\b"), "es")
-            .when(t.rlike("\\b(le|les)\\b"), "fr")
+          when(array_contains(tk, "the") && array_contains(tk, "and"), "en")
+            .when(arrays_overlap(tk, array(lit("der"), lit("und"))), "de")
+            .when(arrays_overlap(tk, array(lit("el"), lit("los"))), "es")
+            .when(arrays_overlap(tk, array(lit("le"), lit("les"))), "fr")
             .otherwise("und"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
     }),
@@ -619,6 +623,44 @@ object TextOps {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("tokens_kept"))
+    }),
+
+    // ---- incremental ingest dedup --------------------------------------
+    // The production shape of dedup: a NEW batch (odd doc_ids here)
+    // screened against the EXISTING corpus (even doc_ids) — exact
+    // duplicates by content hash, near-duplicates by sharing a MinHash-
+    // LSH band with any existing doc. Both screens are semi-joins on
+    // precomputed keys (hash / band), so incremental cost is
+    // O(batch + matched keys), never a rescan-and-recluster of the
+    // whole corpus; band signatures of the existing side are exactly
+    // what a real deployment keeps as its standing dedup index.
+    "q105_incremental_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sigB = minhashSigs(s, d)
+        .select(col("doc_id"), explode(map(
+          lit(0), md5(concat(col("sig0"), col("sig1"))),
+          lit(1), md5(concat(col("sig2"), col("sig3")))))
+          .as(Seq("band_id", "band")))
+      val exBands = sigB.filter(col("doc_id") % 2 === 0)
+        .select("band_id", "band").distinct()
+      val nearIds = sigB.filter(col("doc_id") % 2 === 1)
+        .join(exBands, Seq("band_id", "band"), "left_semi")
+        .select("doc_id").distinct()
+      val exHash = docs.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("h")).distinct()
+      val exactIds = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(exHash, Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id")
+        .join(exactIds.withColumn("e", lit(1L)), Seq("doc_id"), "left_outer")
+        .join(nearIds.withColumn("nd", lit(1L)), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("e"), lit(0L)).as("exact_dup"),
+          coalesce(col("nd"), lit(0L)).as("near_dup"),
+          when(coalesce(col("e"), lit(0L)) === 1, "drop_exact")
+            .when(coalesce(col("nd"), lit(0L)) === 1, "review_near")
+            .otherwise("keep").as("action"))
     })
   )
 
@@ -862,13 +904,16 @@ object TextOps {
                  FROM documents))""",
     "q34_lang_id" ->
       """SELECT lang, CASE
-           WHEN regexp_matches(text, '\bthe\b') AND regexp_matches(text, '\band\b') THEN 'en'
-           WHEN regexp_matches(text, '\bder\b') OR regexp_matches(text, '\bund\b') THEN 'de'
-           WHEN regexp_matches(text, '\bel\b') OR regexp_matches(text, '\blos\b') THEN 'es'
-           WHEN regexp_matches(text, '\ble\b') OR regexp_matches(text, '\bles\b') THEN 'fr'
+           WHEN list_contains(toks, 'the') AND list_contains(toks, 'and') THEN 'en'
+           WHEN list_contains(toks, 'der') OR list_contains(toks, 'und') THEN 'de'
+           WHEN list_contains(toks, 'el') OR list_contains(toks, 'los') THEN 'es'
+           WHEN list_contains(toks, 'le') OR list_contains(toks, 'les') THEN 'fr'
            ELSE 'und' END AS predicted,
          count(*) AS n
-         FROM documents GROUP BY 1, 2""",
+         FROM (SELECT lang, list_filter(string_split(lower(text), ' '),
+                 w -> w <> '') AS toks
+               FROM documents)
+         GROUP BY 1, 2""",
     "q35_fingerprint_bow" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
            list_filter(string_split(lower(text), ' '), w -> w <> ''))), ' ')) AS fingerprint
@@ -1057,6 +1102,47 @@ object TextOps {
                   + ${hexDigit(3)}) * 16 + ${hexDigit(4)}) * 400
                 < least(n_chars, 400) * 65536"""
     },
+
+    "q105_incremental_dedup" ->
+      """WITH sigs AS (
+           SELECT doc_id,
+             md5(min(substr(md5(shingle), 1, 8))
+                 || min(substr(md5(shingle), 9, 8))) AS b0,
+             md5(min(substr(md5(shingle), 17, 8))
+                 || min(substr(md5(shingle), 25, 8))) AS b1
+           FROM (
+             SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 2),
+               i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' '))) AS shingle
+             FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+                   FROM documents)
+             WHERE len(tokens) >= 3)
+           GROUP BY doc_id),
+         bandrows AS (
+           SELECT doc_id, 0 AS band_id, b0 AS band FROM sigs
+           UNION ALL SELECT doc_id, 1, b1 FROM sigs),
+         near AS (
+           SELECT DISTINCT b.doc_id FROM bandrows b
+           WHERE b.doc_id % 2 = 1 AND EXISTS (
+             SELECT 1 FROM bandrows e
+             WHERE e.doc_id % 2 = 0 AND e.band_id = b.band_id
+               AND e.band = b.band)),
+         exact AS (
+           SELECT DISTINCT doc_id FROM documents
+           WHERE doc_id % 2 = 1 AND md5(text) IN (
+             SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 2 = 0))
+         SELECT d.doc_id,
+           CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS exact_dup,
+           CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS near_dup,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+                WHEN n.doc_id IS NOT NULL THEN 'review_near'
+                ELSE 'keep' END AS action
+         FROM documents d
+         LEFT JOIN exact e ON d.doc_id = e.doc_id
+         LEFT JOIN near n ON d.doc_id = n.doc_id
+         WHERE d.doc_id % 2 = 1""",
 
     "q103_source_mixture" ->
       """SELECT source, count(*) AS n_docs,

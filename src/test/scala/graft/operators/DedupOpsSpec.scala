@@ -122,6 +122,25 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q105 incremental dedup: odd batch only, exact implies near") {
+    val out = TextOps.queries("q105_incremental_dedup")(spark, sf)
+    assert(out.filter(col("doc_id") % 2 === 0).count() == 0L,
+      "only the incoming (odd) batch is screened")
+    // an exact text duplicate has identical shingles, hence identical
+    // MinHash bands — so (given >=3 tokens) it must also flag as near
+    val docs = graft.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), w => w =!= ""))
+          .as("ntok"))
+    val bad = out.join(docs, "doc_id")
+      .filter(col("exact_dup") === 1 && col("ntok") >= 3 &&
+        col("near_dup") === 0).count()
+    assert(bad == 0L)
+    val actions = out.select("action").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(actions.subsetOf(Set("keep", "drop_exact", "review_near")))
+  }
+
   test("q104 outliers: <=5 per label, non-negative maximal scores") {
     val out = VectorOps.queries("q104_embedding_outliers")(spark, sf)
     val perLabel = out.groupBy("label").agg(count(lit(1)).as("n"),
