@@ -114,6 +114,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "token-window chunking must not shuffle")
   }
 
+  test("q102: weighted sampling is map-only — zero exchanges") {
+    val plan = executedPlanString("q102_weighted_sample")
+    assert(!plan.contains("Exchange"),
+      "the integer accept rule must run as a pure scan filter")
+  }
+
+  test("q104: outlier scoring broadcasts centroids and never " +
+    "window-sorts the corpus") {
+    val df = SparkEntry.queries("q104_embedding_outliers")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+    // exactly one Window OPERATOR (not WindowGroupLimit etc.), in the
+    // final AQE plan only — it ranks the partition-reduced <=5*P
+    // candidate rows, never the full scored corpus
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Window \\[".r.findAllIn(finalPlan).length == 1,
+      s"expected exactly one Window operator\n$finalPlan")
+    // the partition-local pre-reduction is the collect_list aggregate
+    // (its sort_array+slice post-processing lives in the aggregate's
+    // result expressions, which toString elides); Spark additionally
+    // inserts a Partial WindowGroupLimit before the rank's shuffle
+    assert(finalPlan.contains("collect_list"),
+      "partition-local top-k pre-reduction must precede the rank")
+  }
+
   test("q97: Bloom screen broadcasts the bit set; " +
     "train shingles are never shuffled") {
     val df = SparkEntry.queries("q97_bloom_decontam")(spark, sf)
