@@ -661,6 +661,44 @@ object TextOps {
           when(coalesce(col("e"), lit(0L)) === 1, "drop_exact")
             .when(coalesce(col("nd"), lit(0L)) === 1, "review_near")
             .otherwise("keep").as("action"))
+    }),
+
+    // ---- winnowing fingerprints + containment (MOSS-style) -------------
+    // Local substring-overlap detection — the dedup family's answer to
+    // "these two docs share a paragraph" (which whole-doc MinHash
+    // misses): 24-char k-gram hashes, windows of 8, fingerprint = the
+    // window MIN (winnowing guarantees any shared run ≥ 31 chars
+    // contributes a shared fingerprint). Candidate pairs come from an
+    // inverted fingerprint index (groupBy fp, hot-capped) — never an
+    // all-pairs scan — and multiplicity IS the shared-fingerprint
+    // count, so containment needs only a per-doc size join on top.
+    "q106_winnow_containment" -> ((s, d) => {
+      val fps = table(s, d, "documents")
+        .withColumn("hl", expr(
+          """transform(sequence(1, greatest(length(text) - 23, 1)),
+             i -> md5(substring(text, i, 24)))"""))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, greatest(size(hl) - 7, 1)),
+             j -> array_min(slice(hl, j, 8)))""")).as("fp"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("a_nfp"))
+        .withColumnRenamed("doc_id", "a_id")
+      fps.groupBy("fp")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxLshBucket)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+               transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+                 struct(x AS a_id, y AS b_id))))""")).as("p"))
+        .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .join(sizes, "a_id")
+        .select(col("a_id"), col("b_id"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("a_nfp"), 6)
+            .as("containment"))
     })
   )
 
@@ -1143,6 +1181,28 @@ object TextOps {
          LEFT JOIN exact e ON d.doc_id = e.doc_id
          LEFT JOIN near n ON d.doc_id = n.doc_id
          WHERE d.doc_id % 2 = 1""",
+
+    "q106_winnow_containment" ->
+      """WITH hs AS (
+           SELECT doc_id, list_transform(range(1, greatest(length(text) - 23, 1) + 1),
+                    i -> md5(substr(text, CAST(i AS INT), 24))) AS hl
+           FROM documents),
+         fp AS (
+           SELECT DISTINCT doc_id, fp FROM (
+             SELECT doc_id, unnest(list_transform(
+                      range(1, greatest(len(hl) - 7, 1) + 1),
+                      j -> list_min(list_slice(hl, CAST(j AS INT),
+                                               CAST(j AS INT) + 7)))) AS fp
+             FROM hs)),
+         sizes AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+           FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, n_shared,
+                round(CAST(n_shared AS DOUBLE) / nfp, 6) AS containment
+         FROM pairs JOIN sizes ON a_id = sizes.doc_id
+         WHERE n_shared >= 2""",
 
     "q103_source_mixture" ->
       """SELECT source, count(*) AS n_docs,

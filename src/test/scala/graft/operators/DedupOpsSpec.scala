@@ -141,6 +141,19 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(actions.subsetOf(Set("keep", "drop_exact", "review_near")))
   }
 
+  test("q106 winnow containment: bounded ratio, symmetric evidence") {
+    val rows = TextOps.queries("q106_winnow_containment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs are (a < b)")
+      assert(r.getLong(2) >= 2, "report threshold is >=2 shared")
+      val c = r.getDouble(3)
+      assert(c > 0.0 && c <= 1.0, s"containment $c out of (0,1]")
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
   test("q104 outliers: <=5 per label, non-negative maximal scores") {
     val out = VectorOps.queries("q104_embedding_outliers")(spark, sf)
     val perLabel = out.groupBy("label").agg(count(lit(1)).as("n"),
