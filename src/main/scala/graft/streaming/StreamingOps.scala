@@ -137,6 +137,38 @@ object StreamingOps {
         sum("n_events").as("n_events"))
   }
 
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming near-dup signature index: MinHash-LSH bands computed
+    * PER ROW with array lambdas (tokenize → shingle-hash → array_min —
+    * zero shuffle, unlike the batch explode+groupBy formulation), then
+    * a per-signature aggregation whose state is one row per distinct
+    * band pair. This is the standing dedup index q105 screens against,
+    * maintained incrementally as documents arrive; keeper = min doc_id
+    * makes the survivor deterministic under any micro-batch split. */
+  def streamNeardupIndex(s: SparkSession, dir: String): DataFrame = {
+    def sig(off: Int) = array_min(expr(
+      s"transform(hs, h -> substring(h, $off, 8))"))
+    val idx = s.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .withColumn("tokens",
+        filter(split(lower(col("text")), " "), w => w =!= ""))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("hs", expr(
+        """transform(sequence(0, size(tokens) - 3),
+           i -> md5(concat_ws(' ', slice(tokens, i + 1, 3))))"""))
+      .withColumn("band0", md5(concat(sig(1), sig(9))))
+      .withColumn("band1", md5(concat(sig(17), sig(25))))
+      .groupBy("band0", "band1")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+    runToTable(idx, "complete")
+  }
+
   /** Stream-static enrichment join — the standard "decorate the event
     * stream with a dimension" pattern: the static side is broadcast
     * into every micro-batch (no stream state at all, unlike the
@@ -158,7 +190,8 @@ object StreamingOps {
     "q53_stream_dedup" -> ((s, d) => streamingDedup(s, d)),
     "q66_stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "q67_session_window" -> ((s, d) => sessionWindowAgg(s, d)),
-    "q91_stream_enrich" -> ((s, d) => streamStaticEnrich(s, d)))
+    "q91_stream_enrich" -> ((s, d) => streamStaticEnrich(s, d)),
+    "q107_stream_neardup_index" -> ((s, d) => streamNeardupIndex(s, d)))
 
   val oracle: Map[String, String] = Map(
     // Identical to the q28 batch oracle — stream == batch equivalence.
@@ -185,6 +218,25 @@ object StreamingOps {
                FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id
           AND p.sec >= c.sec AND p.sec <= c.sec + 3600""",
+    // Stream == batch: the per-signature index over a static stream
+    // input is exactly the batch MinHash band aggregation (q37's sigs).
+    "q107_stream_neardup_index" ->
+      """SELECT band0, band1, min(doc_id) AS keeper, count(*) AS n_docs
+         FROM (
+           SELECT doc_id,
+             md5(min(substr(md5(shingle), 1, 8))
+                 || min(substr(md5(shingle), 9, 8))) AS band0,
+             md5(min(substr(md5(shingle), 17, 8))
+                 || min(substr(md5(shingle), 25, 8))) AS band1
+           FROM (
+             SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 2),
+               i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' '))) AS shingle
+             FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+                   FROM documents)
+             WHERE len(tokens) >= 3)
+           GROUP BY doc_id)
+         GROUP BY band0, band1""",
     // Gaps-and-islands on second-truncated times. session_window's gap
     // is boundary-INCLUSIVE: an event exactly 1800s after the previous
     // one still merges (verified against sf0.1 where such a gap

@@ -54,6 +54,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming near-dup index == batch band aggregation") {
+    val streamed = StreamingOps.streamNeardupIndex(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val h = md5(col("shingle"))
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("tokens",
+        filter(split(lower(col("text")), " "), w => w =!= ""))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(tokens) - 3),
+           i -> concat_ws(' ', slice(tokens, i + 1, 3)))""")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(min(substring(h, 1, 8)).as("s0"), min(substring(h, 9, 8)).as("s1"),
+        min(substring(h, 17, 8)).as("s2"), min(substring(h, 25, 8)).as("s3"))
+      .groupBy(md5(concat(col("s0"), col("s1"))).as("band0"),
+        md5(concat(col("s2"), col("s3"))).as("band1"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("incremental pipeline: new bundles ingested exactly once") {
     import java.nio.charset.StandardCharsets
     import java.nio.file.Files
