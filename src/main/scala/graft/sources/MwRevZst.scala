@@ -71,11 +71,19 @@ object MwRevZst {
 
       private def advance(): Unit = {
         while (pending.isEmpty && !done) {
-          val line = reader.readLine()
+          // A truncated or corrupt zstd frame surfaces as an IOException
+          // mid-stream. On a cluster run over thousands of bundles, one
+          // bad file must not kill the job (the reference's per-file
+          // worker isolation has the same net effect): treat corruption
+          // as EOF and salvage every fully-read revision before it.
+          val line =
+            try reader.readLine()
+            catch { case _: java.io.IOException => null }
           if (line == null) {
             done = true
             pending = flush()
-            reader.close()
+            try reader.close()
+            catch { case _: java.io.IOException => () }
           } else if (line.startsWith("#")) {
             val flushed = flush()
             current = Some(parseMeta(line.substring(1).trim))
@@ -104,14 +112,16 @@ object MwRevZst {
         k.trim -> v.trim
       }.toMap
 
+  // Numeric fields parse via toIntOption/toLongOption: a malformed
+  // metadata value degrades that one field to its default instead of
+  // throwing from deep inside a 1000-executor scan (PERMISSIVE-mode
+  // posture, same as the reference's tolerant readers).
   private def toRevision(meta: Map[String, String], text: String): Revision =
     Revision(
-      pageId = meta.get("page_id").filter(_.nonEmpty).map(_.toInt).getOrElse(0),
-      namespaceId = meta.get("ns").filter(_.nonEmpty).map(_.toInt),
-      revisionId = meta.get("rev_id").filter(_.nonEmpty).map(_.toLong)
-        .getOrElse(0L),
-      parentRevisionId =
-        meta.get("parent_rev_id").filter(_.nonEmpty).map(_.toLong),
+      pageId = meta.get("page_id").flatMap(_.toIntOption).getOrElse(0),
+      namespaceId = meta.get("ns").flatMap(_.toIntOption),
+      revisionId = meta.get("rev_id").flatMap(_.toLongOption).getOrElse(0L),
+      parentRevisionId = meta.get("parent_rev_id").flatMap(_.toLongOption),
       revisionTimestamp = meta.getOrElse("timestamp", "")
         .replace("T", " ").replace("Z", ""),
       revisionText = text)
