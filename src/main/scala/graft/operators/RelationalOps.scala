@@ -219,6 +219,22 @@ object RelationalOps {
         .select("c_nationkey", "c_custkey", "rank")
     }),
 
+    // ---- distribution-rank window suite --------------------------------
+    // percent_rank / cume_dist / ntile over a partitioned total order —
+    // the statistics windows the reference's report layer would reach
+    // for next. The ordering includes the unique o_orderkey tie-break
+    // so every rank is deterministic; doubles round to 6 for the
+    // cross-engine hash.
+    "q108_rank_suite" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
     // ---- set ops: UNION ALL --------------------------------------------
     "q20_union_all" -> ((s, d) => {
       val li = table(s, d, "lineitem")
@@ -632,6 +648,14 @@ object RelationalOps {
                   row_number() OVER (PARTITION BY c_nationkey
                                      ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
            FROM customer) WHERE rank <= 3""",
+    "q108_rank_suite" ->
+      """SELECT o_orderkey, o_orderpriority,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice ASC, o_orderkey ASC)""",
     "q20_union_all" ->
       """SELECT src, count(*) AS n, count(DISTINCT key) AS n_keys FROM (
            SELECT l_orderkey AS key, 'hi' AS src FROM lineitem WHERE l_quantity > 45
