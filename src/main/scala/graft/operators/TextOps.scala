@@ -699,6 +699,102 @@ object TextOps {
         .select(col("a_id"), col("b_id"), col("n_shared"),
           round(col("n_shared").cast("double") / col("a_nfp"), 6)
             .as("containment"))
+    }),
+
+    // ---- corpus drift: per-term KL divergence between source halves ----
+    // The distribution-shift monitor a curation pipeline runs between
+    // crawls / sources: unigram distributions of two source groups,
+    // add-one smoothed over the joint vocabulary, and the top terms by
+    // KL contribution p_a * ln(p_a/p_b). Counts ride ONE token shuffle
+    // with map-side combine (conditional sums per side); the vocab is
+    // persisted so the totals pass doesn't re-scan the token stream
+    // (same rule as q99). Contributions are floored to integer
+    // micro-nats so the cross-engine compare is exact; intermediate
+    // state is vocab-sized, never corpus-sized, at any scale.
+    "q109_term_drift" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .withColumn("side",
+          expr("cast(substring(source, 4) as int) % 2"))
+        .select(col("side"), explode(words(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok")
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("cnt_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val totals = vocab.agg(sum("cnt_a").as("tot_a"),
+        sum("cnt_b").as("tot_b"), count(lit(1)).as("v"))
+      val pa = (col("cnt_a") + 1).cast("double") / (col("tot_a") + col("v"))
+      val pb = (col("cnt_b") + 1).cast("double") / (col("tot_b") + col("v"))
+      vocab.crossJoin(broadcast(totals))
+        .withColumn("kl_micro",
+          floor(pa * log(pa / pb) * 1e6).cast("long"))
+        .select("tok", "cnt_a", "cnt_b", "kl_micro")
+        .orderBy(col("kl_micro").desc, col("tok").asc)
+        .limit(25)
+    }),
+
+    // ---- n-gram novelty: how much of each doc is corpus-unique --------
+    // The memorization / boilerplate meter: the share of a document's
+    // distinct 3-token shingle TYPES that occur in no other document.
+    // Inverted-index shape — distinct (doc, shingle) -> shingle doc-
+    // frequency -> join back -> per-doc ratio. The shingle set is
+    // persisted because it feeds both the frequency pass and the
+    // join-back; all joins are on the shingle key, so at 100 TB this
+    // is three key-partitioned shuffles over narrow rows, and the
+    // frequency side is bounded by the vocabulary of shingles.
+    "q110_ngram_novelty" -> ((s, d) => {
+      val sh = shingled(s, d).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          floor(col("n_unique") * 1000.0 / col("n_shingles"))
+            .cast("long").as("novelty_pm"))
+    }),
+
+    // ---- hashing-trick featurization (16-slot bag of words) ------------
+    // The classic fixed-width featurizer in front of linear quality
+    // classifiers: slot = first md5 hex digit of the token (uniform
+    // 16-way, portable across engines), dense counts per doc as 16
+    // conditional sums riding ONE shuffle with map-side combine —
+    // the output is exactly (n_docs x 16) longs however wide the
+    // corpus is, and nothing in the plan is per-vocabulary.
+    "q111_feature_hash" -> ((s, d) => {
+      val slots = table(s, d, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        .withColumn("slot",
+          conv(substring(md5(col("tok")), 1, 1), 16, 10).cast("int"))
+      val sums = (0 until 16).map(j =>
+        sum(when(col("slot") === j, 1L).otherwise(0L)).as(s"s$j"))
+      slots.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    }),
+
+    // ---- concat-and-chunk packing manifest -----------------------------
+    // The training-loader contract: documents concatenated in a
+    // deterministic shuffled order and cut into fixed 512-token
+    // sequences; each doc's manifest row says which sequences it lands
+    // in (docs straddle cut points — that's the point of packing). The
+    // global offset is the distributed orderedCumsum (range-partition +
+    // partition-local prefix sums + tiny offset broadcast), so there is
+    // no single-partition window anywhere and the manifest is a pure
+    // map over the cumsum output at any corpus size.
+    "q113_pack_manifest" -> ((s, d) => {
+      val seqLen = 512L
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("ord",
+          md5(concat(lit("pack:"), col("doc_id").cast("string"))))
+      orderedCumsum(docs, Seq("ord", "doc_id"), "n_tokens", "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")).cast("double") / seqLen)
+            .cast("long").as("start_seq"),
+          floor((col("cum") - 1).cast("double") / seqLen)
+            .cast("long").as("end_seq"))
+        .withColumn("n_seqs", col("end_seq") - col("start_seq") + 1)
     })
   )
 
@@ -1218,6 +1314,87 @@ object TextOps {
                md5('mix:' || CAST(doc_id AS VARCHAR)) AS ord
              FROM documents))
          WHERE cum - n_tokens < 3000
-         GROUP BY source"""
+         GROUP BY source""",
+
+    "q109_term_drift" ->
+      """WITH toks AS (
+           SELECT CAST(substr(source, 4) AS INT) % 2 AS side,
+                  unnest(list_filter(string_split(lower(text), ' '),
+                    w -> w <> '')) AS tok
+           FROM documents),
+         vocab AS (
+           SELECT tok,
+             CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+           FROM toks GROUP BY tok),
+         tot AS (
+           SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+                  CAST(sum(cnt_b) AS BIGINT) AS tot_b,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM vocab)
+         SELECT tok, cnt_a, cnt_b,
+           CAST(floor(
+             (CAST(cnt_a + 1 AS DOUBLE) / (tot_a + v))
+             * ln((CAST(cnt_a + 1 AS DOUBLE) / (tot_a + v))
+                  / (CAST(cnt_b + 1 AS DOUBLE) / (tot_b + v)))
+             * 1e6) AS BIGINT) AS kl_micro
+         FROM vocab, tot
+         ORDER BY kl_micro DESC, tok ASC LIMIT 25""",
+
+    "q110_ngram_novelty" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+               unnest(list_transform(range(0, len(tokens) - 2),
+                 i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' ')))
+                 AS shingle
+             FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                       w -> w <> '') AS tokens
+                   FROM documents)
+             WHERE len(tokens) >= 3)),
+         freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+         SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000.0
+             / count(*)) AS BIGINT) AS novelty_pm
+         FROM sh JOIN freq USING (shingle)
+         GROUP BY doc_id""",
+
+    "q111_feature_hash" -> (
+      """SELECT doc_id, """ +
+        (0 until 16).map(j =>
+          s"CAST(sum(CASE WHEN slot = $j THEN 1 ELSE 0 END) AS BIGINT) AS s$j")
+          .mkString(", ") +
+      """ FROM (
+           SELECT doc_id,
+             strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS slot
+           FROM (
+             SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 w -> w <> '')) AS tok
+             FROM documents))
+         GROUP BY doc_id"""),
+
+    "q113_pack_manifest" ->
+      """SELECT doc_id, n_tokens,
+           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT)
+             AS start_seq,
+           CAST(floor(CAST(cum - 1 AS DOUBLE) / 512) AS BIGINT) AS end_seq,
+           CAST(floor(CAST(cum - 1 AS DOUBLE) / 512) AS BIGINT)
+             - CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT)
+             + 1 AS n_seqs
+         FROM (
+           SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY ord, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM (
+             SELECT doc_id,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 w -> w <> '')) AS BIGINT) AS n_tokens,
+               md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+             FROM documents)
+           WHERE n_tokens > 0)"""
   )
 }

@@ -151,8 +151,37 @@ object VectorOps {
           round(dot("a_vec", "b_vec") / (col("a_nrm") * col("b_nrm")), 6)
             .as("cosine"))
         .filter(col("cosine") > 0.5)
+    }),
+
+    // ---- Johnson-Lindenstrauss random projection (64 -> 8 dims) --------
+    // The embedding-preprocessing move before clustering / coarse ANN at
+    // scale: project onto 8 fixed ±1 sign vectors (signs derived from
+    // md5(i:j), so both engines regenerate the same matrix). The matrix
+    // is a plan-time literal — each output dim is one codegen'd
+    // array_dot against a constant array, so the whole operator is a
+    // zero-shuffle map over the embedding table no matter how many
+    // billion vectors flow through it; ±1.0f multiplication is exact,
+    // keeping the cross-engine compare honest at round-6.
+    "q112_random_projection" -> ((s0, d) => {
+      val s = withFns(s0)
+      val e = table(s, d, "embeddings")
+      val projCols = (0 until 8).map { j =>
+        val signs = array((0 until 64).map { i =>
+          lit(if (md5Hex(s"$i:$j").charAt(0) < '8') 1.0f else -1.0f)
+        }: _*)
+        round(call_function("array_dot", col("embedding"), signs), 6)
+          .as(s"p$j")
+      }
+      e.select(col("vec_id") +: projCols: _*)
     })
   )
+
+  /** Lowercase hex md5 of a string — plan-time only (sign matrix
+    * generation for q112); matches DuckDB's md5() exactly. */
+  private def md5Hex(sIn: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sIn.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
 
   /** Random-hyperplane LSH bucket id: sign bits of 4 dot products with
     * deterministic pseudo-hyperplanes w(j,k) = (j*31+k*17)%7-3. */
@@ -638,6 +667,14 @@ object VectorOps {
          FROM embeddings a JOIN embeddings b
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 6) > 0.5"""
+                                            CAST(b.embedding AS DOUBLE[])), 6) > 0.5""",
+    "q112_random_projection" -> (
+      "SELECT vec_id, " +
+        (0 until 8).map(j =>
+          s"""round(list_dot_product(CAST(embedding AS DOUBLE[]),
+             list_transform(range(0, 64), i ->
+               CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':$j'), 1, 1) < '8'
+                    THEN 1.0 ELSE -1.0 END)), 6) AS p$j""").mkString(", ") +
+      " FROM embeddings")
   )
 }

@@ -140,6 +140,41 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "partition-local top-k pre-reduction must precede the rank")
   }
 
+  test("q112: random projection is map-only — zero exchanges, " +
+    "native array_dot per output dim") {
+    val plan = executedPlanString("q112_random_projection")
+    assert(!plan.contains("Exchange"),
+      "JL projection must be a pure scan-side map")
+    assert(plan.contains("array_dot"),
+      "each output dim must be the codegen'd array_dot, not a lambda chain")
+  }
+
+  test("q111: hashing-trick featurization rides one shuffle with " +
+    "map-side partial aggregation") {
+    // AQE's toString prints the final AND initial plans — count only the
+    // final one
+    val plan = executedPlanString("q111_feature_hash")
+      .split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 hash exchange, got $shuffles")
+    // partial_sum before the exchange = map-side combine is active
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      "conditional slot counts must partially aggregate before the shuffle")
+  }
+
+  test("q109: drift totals arrive as a broadcast over the persisted " +
+    "vocab — the token stream is scanned once") {
+    val df = SparkEntry.queries("q109_term_drift")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+    assert(plan.contains("InMemoryTableScan"),
+      "vocab must be persisted so totals don't re-tokenize the corpus")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-25 must be a TakeOrdered, not a global sort")
+  }
+
   test("q97: Bloom screen broadcasts the bit set; " +
     "train shingles are never shuffled") {
     val df = SparkEntry.queries("q97_bloom_decontam")(spark, sf)
