@@ -196,6 +196,44 @@ object ScaleProbe {
               col("n_chars").cast("long").as("v"))
             .withColumn("ord", md5(col("doc_id").cast("string"))),
           Seq("source"), Seq("ord", "doc_id"), "v", "cum")),
+      "ngram_novelty" -> (k => {
+        // q110 shape: inverted shingle index + join-back. Replication
+        // multiplies every shingle's doc frequency by k, but the work
+        // per (doc, shingle) row is one key-partitioned count + one
+        // equi join either way — the ratio must track the row count,
+        // never the pair space.
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        val sh = scaled("documents", k, "doc_id")
+          .withColumn("tokens", toks)
+          .filter(size(col("tokens")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(tokens) - 3),
+               i -> concat_ws(' ', slice(tokens, i + 1, 3)))"""))
+            .as("shingle"))
+          .distinct()
+        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        sh.join(freq, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("u"))
+      }),
+      "random_projection" -> (k => {
+        // q112 shape: zero-shuffle map over the vector stream with a
+        // constant literal matrix — the purest linear probe.
+        graft.functions.GraftFunctions.register(spark)
+        def md5Hex(x: String): String =
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val projCols = (0 until 8).map { j =>
+          val signs = array((0 until 64).map { i =>
+            lit(if (md5Hex(s"$i:$j").charAt(0) < '8') 1.0f else -1.0f)
+          }: _*)
+          round(call_function("array_dot", col("embedding"), signs), 6)
+            .as(s"p$j")
+        }
+        scaled("embeddings", k, "vec_id")
+          .select(col("vec_id") +: projCols: _*)
+      }),
       "label_blocked_cosine" -> (k => {
         graft.functions.GraftFunctions.register(spark)
         // labels shifted too: block sizes stay constant, total linear.

@@ -499,6 +499,27 @@ object RelationalOps {
           col("click_id"))
     }),
 
+    // ---- native as-of join (custom LogicalPlan + Strategy + SparkPlan) -
+    // Same attribution semantics as q70, planned through the engine's
+    // AsOfJoinExec physical operator (graft/plans/AsOfJoin.scala): both
+    // sides hash-partitioned on user_id, sorted once, then a streaming
+    // per-partition merge with O(1) state — two shuffles total, the
+    // floor for a big-big as-of, vs q70's carried-union window. The
+    // strategy is injected via GraftExtensions, so the session plans it
+    // like any built-in operator.
+    "q114_asof_exec" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      graft.plans.AsOf.join(purchases, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "c_ts", tieBreak = Seq("click_id"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+    }),
+
     // ---- pivot: per-user event-type count matrix -----------------------
     "q68_pivot" -> ((s, d) => {
       table(s, d, "events")
@@ -726,6 +747,13 @@ object RelationalOps {
          levenshtein(a.c_name, b.c_name) AS dist
          FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey""",
     "q70_asof_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+         FROM (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events
+                         WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q114_asof_exec" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
          FROM (SELECT user_id, event_id, ts FROM events
                WHERE event_type = 'purchase') p

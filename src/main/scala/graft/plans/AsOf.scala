@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.graft.PlanApi
+
+/** DataFrame-level entry point for the native [[AsOfJoin]] operator.
+  *
+  * `AsOf.join(left, right, keys, leftTime, rightTime, tieBreak)`
+  * returns left's columns plus right's columns (nulled when no right
+  * row with the same key has `rightTime <= leftTime`). Key columns must
+  * exist under the same names on both sides; rename right-side value
+  * columns beforehand if they collide with left's.
+  */
+object AsOf {
+
+  def join(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias the right side when the two subtrees share attribute ids
+    // (e.g. both scan the same table) so the binary node's outputs stay
+    // disjoint without relying on analyzer deduplication of custom nodes.
+    val rAnalyzed = right.queryExecution.analyzed
+    val rPlan: LogicalPlan =
+      if (rAnalyzed.outputSet.intersect(lPlan.outputSet).isEmpty) rAnalyzed
+      else Project(rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not found in [${plan.output.map(_.name).mkString(", ")}]"))
+
+    val rightKeyAttrs = keys.map(resolve(rPlan, _))
+    val joined = AsOfJoin(
+      lPlan, rPlan,
+      keys.map(resolve(lPlan, _)), rightKeyAttrs,
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime),
+      tieBreak.map(resolve(rPlan, _)))
+    // natural-join shape: the right key columns duplicate the left's by
+    // construction — project them away so output names stay unambiguous
+    val rightKeyIds = rightKeyAttrs.map(_.exprId).toSet
+    PlanApi.ofRows(
+      Project(joined.output.filterNot(a => rightKeyIds.contains(a.exprId)),
+        joined),
+      spark)
+  }
+}

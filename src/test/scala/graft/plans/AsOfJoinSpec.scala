@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native as-of join operator (logical node -> injected strategy ->
+  * AsOfJoinExec merge): semantics on hand-built edges, equivalence with
+  * the compositional q70 window form on real data, and the physical
+  * plan contract (two exchanges, streaming merge, no window).
+  */
+class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .appName("asof-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def edges = {
+    import spark.implicits._
+    // (key, ts) left probes vs (key, ts, id) right quotes
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 20L), (2L, 5L), (3L, 7L))
+      .toDF("k", "t")
+    val right = Seq(
+      (1L, 10L, 100L), (1L, 15L, 101L), (1L, 25L, 102L),
+      (2L, 6L, 200L), // after the only left probe for key 2
+      (4L, 1L, 400L)) // key never probed
+      .toDF("k", "rt", "rid")
+    (left, right)
+  }
+
+  test("picks the greatest right time <= left time; unmatched " +
+    "left rows keep nulls") {
+    val (l, r) = edges
+    val out = AsOf.join(l, r, Seq("k"), "t", "rt", Seq("rid"))
+      .select("k", "t", "rid")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).sorted.toSeq
+    assert(out == Seq(
+      (1L, 10L, 100L),  // exact-time match counts (>=, not >)
+      (1L, 20L, 101L),  // 15 is the latest <= 20
+      (1L, 20L, 101L),  // duplicate left times match identically
+      (2L, 5L, -1L),    // only right quote is later -> null
+      (3L, 7L, -1L)))   // key absent on the right -> null
+  }
+
+  test("equal-time right rows resolve by the tie-break ordering") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 3L))
+      .toDF("k", "rt", "rid")
+    val out = AsOf.join(l, r, Seq("k"), "t", "rt", Seq("rid"))
+      .select("rid").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(9L), "the LAST row in tie-break order must win")
+  }
+
+  test("matches the compositional q70 window form on real events") {
+    val native = graft.SparkEntry.queries("q114_asof_exec")(spark, sf)
+      .select("user_id", "purchase_id", "click_id")
+    val window = graft.SparkEntry.queries("q70_asof_join")(spark, sf)
+      .select("user_id", "purchase_id", "click_id")
+    assert(native.count() == window.count())
+    assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
+  }
+
+  test("plan: AsOfJoinExec with one exchange + sort per side, no window") {
+    val df = graft.SparkEntry.queries("q114_asof_exec")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Window"), "the native form must not fall back " +
+      "to the carried-union window")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 2, s"expected 2 exchanges (one per side), got $shuffles")
+  }
+
+  test("survives a repartitioned left side and empty right partitions") {
+    import spark.implicits._
+    val l = spark.range(0, 1000)
+      .select((col("id") % 97).as("k"), col("id").as("t"))
+      .repartition(7)
+    // right has keys only in [0, 10) -> most partitions empty after
+    // the hash exchange
+    val r = Seq.tabulate(10)(i => (i.toLong, 500L, i * 10L))
+      .toDF("k", "rt", "rid")
+    val out = AsOf.join(l, r, Seq("k"), "t", "rt", Seq("rid"))
+    val matched = out.filter(col("rid").isNotNull)
+    // keys 0..9, left t >= 500 -> ~500/97-ish rows per key match
+    assert(matched.count() ==
+      l.filter(col("k") < 10 && col("t") >= 500).count())
+    assert(out.count() == 1000)
+  }
+}
