@@ -771,6 +771,41 @@ object TextOps {
       slots.groupBy("doc_id").agg(sums.head, sums.tail: _*)
     }),
 
+    // ---- BM25 relevance scoring against a fixed query ------------------
+    // The retrieval primitive of targeted curation ("find the docs about
+    // X in 100 TB"): Lucene-shaped BM25 (k1=1.2, b=0.75) of a constant
+    // 5-term query. Everything that touches the corpus is one pass:
+    // doc length map-side next to the tokenize, the term-frequency
+    // groupBy keyed on (doc, term) over the FILTERED token stream (only
+    // query-term hits shuffle — the 100 TB corpus does not), df and the
+    // (N, total-length) scalars broadcast back. Per-term scores are
+    // floored to integer micro-units before the per-doc sum so the
+    // result is order-independent and engine-exact.
+    "q115_bm25" -> ((s, d) => {
+      val qTerms = Seq("scan", "column", "merge", "join", "order")
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), words(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          col("toks"))
+      val stats = docs.agg(count(lit(1)).as("n"), sum("dl").as("tot"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(qTerms: _*))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val avgdl = col("tot").cast("double") / col("n")
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+      val denom = col("tf") +
+        lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl)
+      tf.join(broadcast(df), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("micro",
+          floor(lit(1e6) * idf * (col("tf") * 2.2) / denom).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit"), sum("micro").as("score_micro"))
+    }),
+
     // ---- concat-and-chunk packing manifest -----------------------------
     // The training-loader contract: documents concatenated in a
     // deterministic shuffled order and cut into fixed 512-token
@@ -1376,6 +1411,34 @@ object TextOps {
                  w -> w <> '')) AS tok
              FROM documents))
          GROUP BY doc_id"""),
+
+    "q115_bm25" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                    w -> w <> '') AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf FROM (
+             SELECT doc_id, unnest(toks) AS tok FROM d)
+           WHERE tok IN ('scan', 'column', 'merge', 'join', 'order')
+           GROUP BY doc_id, tok),
+         df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+                GROUP BY tok)
+         SELECT tf.doc_id, count(*) AS n_hit,
+           CAST(sum(CAST(floor(
+             1e6 * ln((n - df + 0.5) / (df + 0.5) + 1)
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                              / (CAST(tot AS DOUBLE) / n)))) AS BIGINT))
+             AS BIGINT) AS score_micro
+         FROM tf
+         JOIN dl ON tf.doc_id = dl.doc_id
+         JOIN df ON tf.tok = df.tok, stats
+         GROUP BY tf.doc_id""",
 
     "q113_pack_manifest" ->
       """SELECT doc_id, n_tokens,
