@@ -788,11 +788,14 @@ object TextOps {
         .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
           col("toks"))
       val stats = docs.agg(count(lit(1)).as("n"), sum("dl").as("tot"))
+      // persisted: tf feeds BOTH the df pass and the scoring join —
+      // without it the df subtree re-tokenizes the whole corpus
       val tf = docs
         .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
         .filter(col("tok").isin(qTerms: _*))
         .groupBy("doc_id", "tok")
         .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val avgdl = col("tot").cast("double") / col("n")
       val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)

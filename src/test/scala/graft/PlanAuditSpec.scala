@@ -175,6 +175,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "top-25 must be a TakeOrdered, not a global sort")
   }
 
+  test("q115: BM25 shuffles only query-term hits; df and corpus " +
+    "scalars arrive as broadcasts") {
+    val df = SparkEntry.queries("q115_bm25")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    // tf groupBy + df groupBy (over the CACHED tf) + final per-doc agg
+    // — the raw token stream itself must never hash-shuffle, and the
+    // corpus must be tokenized once
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"expected <=3 hash exchanges, got $shuffles\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      "tf must be persisted so the df pass reuses it")
+    assert(!plan.contains("SortMergeJoin"),
+      "df/stats must broadcast, not sort-merge")
+  }
+
   test("q97: Bloom screen broadcasts the bit set; " +
     "train shingles are never shuffled") {
     val df = SparkEntry.queries("q97_bloom_decontam")(spark, sf)
