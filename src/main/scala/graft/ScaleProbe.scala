@@ -27,6 +27,7 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -196,6 +197,21 @@ object ScaleProbe {
               col("n_chars").cast("long").as("v"))
             .withColumn("ord", md5(col("doc_id").cast("string"))),
           Seq("source"), Seq("ord", "doc_id"), "v", "cum")),
+      "asof_native" -> (k => {
+        // q114 shape through the custom AsOfJoinExec: user_id shifted
+        // per copy, so key cardinality scales with the data and the
+        // per-partition merge state stays O(1) — the ratio must track
+        // the two hash exchanges + sorts, nothing quadratic.
+        val ev = scaled("events", k, "user_id", "event_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("c_ts"))
+        graft.plans.AsOf.join(purchases, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "c_ts", tieBreak = Seq("click_id"))
+      }),
       "ngram_novelty" -> (k => {
         // q110 shape: inverted shingle index + join-back. Replication
         // multiplies every shingle's doc frequency by k, but the work

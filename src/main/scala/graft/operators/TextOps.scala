@@ -771,6 +771,24 @@ object TextOps {
       slots.groupBy("doc_id").agg(sums.head, sums.tail: _*)
     }),
 
+    // ---- deterministic global shuffle (epoch permutation) --------------
+    // The "shuffle the corpus once per epoch, reproducibly" loader
+    // contract: a stable global position for every doc under a seeded
+    // md5 order. The position is the distributed orderedCumsum of 1
+    // (range partition + local prefix sums + broadcast offsets) — a
+    // total-order row_number with NO single-partition window, so the
+    // permutation costs one range shuffle at any corpus size and is
+    // identical however the input was partitioned.
+    "q116_epoch_shuffle" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("ord",
+          md5(concat(lit("epoch7:"), col("doc_id").cast("string"))))
+        .withColumn("one", lit(1L))
+      orderedCumsum(docs, Seq("ord", "doc_id"), "one", "pos")
+        .select(col("doc_id"), col("source"), (col("pos") - 1).as("pos"))
+    }),
+
     // ---- BM25 relevance scoring against a fixed query ------------------
     // The retrieval primitive of targeted curation ("find the docs about
     // X in 100 TB"): Lucene-shaped BM25 (k1=1.2, b=0.75) of a constant
@@ -1414,6 +1432,13 @@ object TextOps {
                  w -> w <> '')) AS tok
              FROM documents))
          GROUP BY doc_id"""),
+
+    "q116_epoch_shuffle" ->
+      """SELECT doc_id, source,
+           row_number() OVER (ORDER BY ord, doc_id) - 1 AS pos
+         FROM (SELECT doc_id, source,
+                 md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS ord
+               FROM documents)""",
 
     "q115_bm25" ->
       """WITH d AS (

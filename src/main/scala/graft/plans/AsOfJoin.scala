@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Logical as-of join — the whole-operator custom-plan axis of the
   * engine's Spark extensions (next to the codegen'd `ArrayDot`
@@ -98,7 +99,15 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of rows with an as-of match"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val keyTypes = leftKeys.map(_.dataType)
     val fullTypes = keyTypes :+ leftTime.dataType
     val rightArity = right.output.length
@@ -137,11 +146,11 @@ case class AsOfJoinExec(
             }
             advanceRight()
           }
-          val r =
-            if (lastMatchFull != null && keyOrd.compare(lastMatchFull, lFull) == 0)
-              lastMatch
-            else nullRight
-          resultProj(joined(l, r))
+          val matched =
+            lastMatchFull != null && keyOrd.compare(lastMatchFull, lFull) == 0
+          if (matched) numMatchedRows += 1
+          numOutputRows += 1
+          resultProj(joined(l, if (matched) lastMatch else nullRight))
         }
       }
     }
