@@ -34,6 +34,18 @@ object AsOf {
         throw new IllegalArgumentException(
           s"column '$name' not found in [${plan.output.map(_.name).mkString(", ")}]"))
 
+    // the merge compares key/time values across the two sides with one
+    // ordering — mismatched types would compare garbage, so fail fast
+    keys.foreach { k =>
+      val (l, r) = (resolve(lPlan, k), resolve(rPlan, k))
+      require(l.dataType == r.dataType,
+        s"as-of key '$k': left ${l.dataType} != right ${r.dataType}")
+    }
+    require(resolve(lPlan, leftTime).dataType ==
+        resolve(rPlan, rightTime).dataType,
+      s"as-of time: left '$leftTime' ${resolve(lPlan, leftTime).dataType} " +
+        s"!= right '$rightTime' ${resolve(rPlan, rightTime).dataType}")
+
     val rightKeyAttrs = keys.map(resolve(rPlan, _))
     val joined = AsOfJoin(
       lPlan, rPlan,
