@@ -520,6 +520,30 @@ object RelationalOps {
         .select(col("user_id"), col("purchase_id"), col("click_id"))
     }),
 
+    // ---- bounded as-of: attribution window on the native operator ------
+    // The marketing-attribution variant ("credit the click only if it
+    // happened within 24h of the purchase"): the nearest preceding
+    // click from AsOfJoinExec, then a pure projection nulls out matches
+    // outside the window — correct because if the NEAREST preceding
+    // click is outside the window, every earlier one is too. No extra
+    // shuffle over q114's two.
+    "q117_asof_window" -> ((s, d) => {
+      val windowNs = 86400000000000L // 24h in nanoseconds
+      val ev = table(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      graft.plans.AsOf.join(purchases, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "c_ts", tieBreak = Seq("c_id"))
+        .select(col("user_id"), col("purchase_id"),
+          when(col("c_ts").isNotNull &&
+              col("ts") - col("c_ts") <= windowNs, col("c_id"))
+            .as("click_id"))
+    }),
+
     // ---- pivot: per-user event-type count matrix -----------------------
     "q68_pivot" -> ((s, d) => {
       table(s, d, "events")
@@ -755,6 +779,16 @@ object RelationalOps {
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "q114_asof_exec" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+         FROM (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events
+                         WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q117_asof_window" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+           CASE WHEN c.event_id IS NOT NULL
+                 AND epoch_ns(p.ts) - epoch_ns(c.ts) <= 86400000000000
+                THEN c.event_id END AS click_id
          FROM (SELECT user_id, event_id, ts FROM events
                WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events
