@@ -14,9 +14,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * shuffles the distinct key set; this aggregator never does.
   *
   * `finish` returns the k-th smallest hash (the KMV order statistic
-  * u_k; estimate = (k-1)/(u_k/2^bits)), or Long.MaxValue when fewer
-  * than k distinct hashes exist (callers fall back to exact count —
-  * with < k distinct values the state IS the exact distinct set).
+  * u_k; estimate = (k-1)/(u_k/2^bits)). When fewer than k distinct
+  * hashes exist it returns the LARGEST retained hash u_m instead, so
+  * the same estimator degrades gracefully — with m < k distinct values
+  * the state is the exact distinct set and (k-1)/(u_m/2^bits) is the
+  * natural small-cardinality estimate (what an oracle computing
+  * (k-1)/(max(h)/2^bits) over all hashes yields). Only an empty group
+  * returns Long.MaxValue (estimate ~0).
   */
 class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Long] {
 
@@ -45,7 +49,7 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Long] {
     b2.foldLeft(b1)(insert)
 
   override def finish(b: Array[Long]): Long =
-    if (b.length < k) Long.MaxValue else b(k - 1)
+    if (b.isEmpty) Long.MaxValue else b(math.min(b.length, k) - 1)
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()

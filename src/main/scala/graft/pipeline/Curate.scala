@@ -129,9 +129,14 @@ object Curate {
     sharded.write.mode("overwrite").partitionBy("shard")
       .option("compression", "zstd").parquet(outDir)
 
-    val out = docs.sparkSession.read.parquet(outDir)
+    // explicit schema: an all-rows-filtered run leaves a data-less
+    // directory where inference would fail, not return empty
+    val out = docs.sparkSession.read.schema(sharded.schema).parquet(outDir)
     val nShards = out.select("shard").distinct().count()
-    val tokensKept = out.agg(sum("n_tokens")).head().getLong(0)
+    // sum over zero rows is null — an empty curated output (aggressive
+    // minTokens / full decontamination) must report zeros, not NPE
+    val tokensKept =
+      out.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
     quality.unpersist(); exact.unpersist(); nearKeep.unpersist()
     Report(nInput, nQuality, nExact, nNear, nClean, nShards, tokensKept)
   }

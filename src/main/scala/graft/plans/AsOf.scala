@@ -19,6 +19,9 @@ object AsOf {
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    // ClusteredDistribution(Nil) fails deep inside planning; surface the
+    // misuse here instead (a keyless as-of is a plain latest-event scan)
+    require(keys.nonEmpty, "as-of join requires at least one key column")
     val spark: SparkSession = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     // Re-alias the right side when the two subtrees share attribute ids
@@ -29,10 +32,16 @@ object AsOf {
       if (rAnalyzed.outputSet.intersect(lPlan.outputSet).isEmpty) rAnalyzed
       else Project(rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
 
+    // honor the session's case-sensitivity, like DataFrame.col does
+    val resolver = spark.sessionState.analyzer.resolver
     def resolve(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column '$name' not found in [${plan.output.map(_.name).mkString(", ")}]"))
+      plan.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column '$name' not found in [${plan.output.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"column '$name' is ambiguous: matches ${many.map(_.name).mkString(", ")}")
+      }
 
     // the merge compares key/time values across the two sides with one
     // ordering — mismatched types would compare garbage, so fail fast

@@ -75,6 +75,13 @@ object AsOfJoinStrategy extends SparkStrategy {
   * buffered right row; nothing is ever rewound, so skew on the time
   * axis costs memory O(1) and the operator is spill-free by
   * construction.
+  *
+  * Null semantics match the SQL predicate `l.k = r.k AND l.t >= r.t`:
+  * a NULL key or time never satisfies it, so right rows with any null
+  * key/time are skipped during the merge and left rows with any null
+  * key/time emit the null-extended right side. (The natural ascending
+  * ordering used for the merge sorts nulls first, which would otherwise
+  * equi-match NULL keys and treat a NULL time as "earliest".)
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
@@ -129,17 +136,30 @@ case class AsOfJoinExec(
         private var rHeadFull: InternalRow = _
         private var lastMatch: InternalRow = _
         private var lastMatchFull: InternalRow = _
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rHead = rIter.next().copy()
-            rHeadFull = rFullProj(rHead).copy()
-          } else { rHead = null; rHeadFull = null }
+        private def advanceRight(): Unit = {
+          rHead = null; rHeadFull = null
+          // null key/time can never satisfy l.k = r.k AND l.t >= r.t
+          while (rHead == null && rIter.hasNext) {
+            val candidate = rIter.next()
+            val candidateFull = rFullProj(candidate)
+            if (!candidateFull.anyNull) {
+              rHead = candidate.copy()
+              rHeadFull = candidateFull.copy()
+            }
+          }
+        }
         advanceRight()
 
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
           val lFull = lFullProj(l)
+          if (lFull.anyNull) {
+            // nulls sort first, so no right-side state is skipped by
+            // emitting the unmatched row without advancing the merge
+            numOutputRows += 1
+            return resultProj(joined(l, nullRight))
+          }
           while (rHead != null && fullOrd.compare(rHeadFull, lFull) <= 0) {
             if (keyOrd.compare(rHeadFull, lFull) == 0) {
               lastMatch = rHead; lastMatchFull = rHeadFull

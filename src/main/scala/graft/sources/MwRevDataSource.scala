@@ -188,8 +188,8 @@ private class MwRevPartitionReader(
   private val p = new Path(file)
   private val in = FileSystem.get(p.toUri, conf.value).open(p)
   private val revisions: Iterator[Revision] =
-    if (wantText) MwRevZst.parse(in)
-    else MwRevZst.parseMetaOnly(in)
+    if (wantText) MwRevZst.parse(in, file)
+    else MwRevZst.parseMetaOnly(in, file)
   private var current: Revision = _
 
   override def next(): Boolean = {

@@ -35,24 +35,35 @@ final case class Revision(
   */
 object MwRevZst {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Bundles truncated by a mid-stream I/O error since JVM start (per
+    * executor). Corruption salvage is intentional (see [[parseImpl]]),
+    * but it must be OBSERVABLE — a silent catch turns partial data loss
+    * into a "successful" scan. Tests and ops dashboards read this. */
+  val truncatedBundles = new java.util.concurrent.atomic.AtomicLong(0)
+
   def read(spark: SparkSession, path: String): Dataset[Revision] = {
     import spark.implicits._
     spark.sparkContext
       .binaryFiles(path)
-      .flatMap { case (_, pds) => parse(pds.open()) }
+      .flatMap { case (file, pds) => parse(pds.open(), file) }
       .toDS()
   }
 
-  /** Streaming parse of one decompressed bundle. */
-  def parse(in: InputStream): Iterator[Revision] = parseImpl(in, true)
+  /** Streaming parse of one decompressed bundle. `source` labels the
+    * bundle in truncation warnings. */
+  def parse(in: InputStream, source: String = "<stream>"): Iterator[Revision] =
+    parseImpl(in, true, source)
 
   /** Metadata-only parse: text lines are skipped, `revisionText` is ""
     * — backs column-pruned scans in the V2 source. */
-  def parseMetaOnly(in: InputStream): Iterator[Revision] =
-    parseImpl(in, false)
+  def parseMetaOnly(
+      in: InputStream, source: String = "<stream>"): Iterator[Revision] =
+    parseImpl(in, false, source)
 
   private def parseImpl(
-      in: InputStream, keepText: Boolean): Iterator[Revision] = {
+      in: InputStream, keepText: Boolean, source: String): Iterator[Revision] = {
     val reader = new BufferedReader(new InputStreamReader(
       new ZstdInputStream(in), StandardCharsets.UTF_8))
     new Iterator[Revision] {
@@ -60,6 +71,7 @@ object MwRevZst {
       private var current: Option[(Map[String, String])] = None
       private val textLines = scala.collection.mutable.ArrayBuffer.empty[String]
       private var done = false
+      private var salvaged = 0L
 
       private def flush(): Option[Revision] =
         current.map { meta =>
@@ -78,7 +90,15 @@ object MwRevZst {
           // as EOF and salvage every fully-read revision before it.
           val line =
             try reader.readLine()
-            catch { case _: java.io.IOException => null }
+            catch {
+              case e: java.io.IOException =>
+                // salvage, but loudly: the error may be a transient disk /
+                // network fault on a healthy file, not frame corruption
+                truncatedBundles.incrementAndGet()
+                log.warn(s"mwrev bundle '$source' truncated by I/O error " +
+                  s"after $salvaged revisions; salvaging prefix", e)
+                null
+            }
           if (line == null) {
             done = true
             pending = flush()
@@ -99,6 +119,7 @@ object MwRevZst {
         advance()
         val r = pending.get
         pending = None
+        salvaged += 1
         r
       }
     }

@@ -47,11 +47,24 @@ class KmvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r7)
   }
 
-  test("fewer than k distinct values -> sentinel (exact set in state)") {
+  test("fewer than k distinct values -> largest retained hash, so the " +
+    "(k-1)/u estimator degrades gracefully") {
     import spark.implicits._
+    // with m < k distinct the state is the exact distinct set; finish
+    // must return max(h) — the same order statistic an oracle computing
+    // max over `ORDER BY hv LIMIT k` yields — not a sentinel that
+    // collapses the estimate to ~0 (ADVICE r3)
     val small = (1L to 10L).toDF("hv")
     val agg = udaf(new KmvSketch(k))
     val got = small.agg(agg(col("hv"))).head().getLong(0)
+    assert(got == 10L)
+  }
+
+  test("empty input -> Long.MaxValue (estimate ~0)") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("hv")
+    val agg = udaf(new KmvSketch(k))
+    val got = empty.agg(agg(col("hv"))).head().getLong(0)
     assert(got == Long.MaxValue)
   }
 }

@@ -73,4 +73,16 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(shards.map(_.getLong(1)).sum == r.tokensKept)
   }
+
+  test("a filter that rejects everything yields a zero report, not an NPE") {
+    val docs = graft.Tables.table(spark, sf, "documents").limit(50)
+    val bench = docs.limit(0)
+    val out = Files.createTempDirectory("curate-empty").toFile.getAbsolutePath
+    // minTokens far above any document: quality stage drops all rows;
+    // sum(n_tokens) over zero rows is SQL NULL and must coalesce to 0
+    val r = Curate.run(docs, bench, out, minTokens = 1000000,
+      shardTokens = 2000L)
+    assert(r.nAfterQuality == 0 && r.nAfterDecontam == 0)
+    assert(r.nShards == 0 && r.tokensKept == 0L)
+  }
 }

@@ -85,6 +85,51 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles == 2, s"expected 2 exchanges (one per side), got $shuffles")
   }
 
+  test("null keys and times never satisfy the as-of predicate") {
+    import spark.implicits._
+    // SQL semantics of l.k = r.k AND l.t >= r.t: NULL on either side of
+    // either comparison is not a match. Without the null guards the
+    // nulls-first merge ordering would equi-match NULL keys and treat a
+    // NULL right time as "earliest".
+    val l = Seq(
+      (Some(1L), Some(10L)), // normal probe
+      (None, Some(10L)),     // null key -> no match
+      (Some(1L), None),      // null time -> no match
+      (None, None))
+      .toDF("k", "t")
+    val r = Seq(
+      (Some(1L), Some(5L), 100L),  // the only legitimate match
+      (None, Some(1L), 666L),      // null right key: never matches
+      (Some(1L), None, 667L))      // null right time: never matches
+      .toDF("k", "rt", "rid")
+    val out = AsOf.join(l, r, Seq("k"), "t", "rt", Seq("rid"))
+      .select("k", "t", "rid")
+      .collect().map(x => (
+        if (x.isNullAt(0)) -1L else x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).sorted.toSeq
+    assert(out == Seq(
+      (-1L, -1L, -1L),
+      (-1L, 10L, -1L),
+      (1L, -1L, -1L),
+      (1L, 10L, 100L)))
+  }
+
+  test("rejects an empty key list up front") {
+    val (l, r) = edges
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, Nil, "t", "rt")
+    }
+    assert(e.getMessage.contains("at least one key"))
+  }
+
+  test("resolves column names with the session's case sensitivity") {
+    val (l, r) = edges
+    // spark.sql.caseSensitive defaults to false — 'K'/'RT' must resolve
+    val out = AsOf.join(l, r, Seq("K"), "T", "RT", Seq("RID"))
+    assert(out.count() == 5)
+  }
+
   test("survives a repartitioned left side and empty right partitions") {
     import spark.implicits._
     val l = spark.range(0, 1000)

@@ -35,14 +35,20 @@ class ToleranceSpec extends AnyFunSuite {
     assert(revs.head.revisionTimestamp == "2020-01-01 00:00:00")
   }
 
-  test("truncated zstd frame yields the readable prefix, no throw") {
+  test("truncated zstd frame yields the readable prefix, no throw, " +
+    "and the truncation is observable") {
     val bytes = bundleBytes(goodLines ++ (1 to 20000).map(i =>
       s" pad $i ${java.util.UUID.nameUUIDFromBytes(Array(i.toByte, (i >> 8).toByte))}"))
     val cut = bytes.take(bytes.length / 2)
-    val revs = MwRevZst.parse(new java.io.ByteArrayInputStream(cut)).toList
+    val before = MwRevZst.truncatedBundles.get()
+    val revs = MwRevZst.parse(
+      new java.io.ByteArrayInputStream(cut), "spec-bundle.mwrev.zst").toList
     // whatever decompressed cleanly before the corruption is kept;
     // the parser must terminate without raising
     assert(revs.map(_.revisionId).startsWith(List(11L)))
+    // salvage must not be silent: a transient I/O fault on a healthy
+    // file would otherwise masquerade as a successful full scan
+    assert(MwRevZst.truncatedBundles.get() == before + 1)
   }
 
   test("malformed numeric metadata degrades the field, not the scan") {
