@@ -15,10 +15,21 @@ object Bench {
       .getOrElse(32)
     val spark = GraftSession.local(cpus)
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Queries that persist() intermediates (token streams, vocabularies,
+    // adjacency lists) leave them registered in the CacheManager; across
+    // 100+ queries × 3 passes the resident caches grow to many GB,
+    // inflating every later query with eviction + GC churn (round 3's
+    // bench ran q37 3× slower than round 2 on identical code). Dropping
+    // all caches between queries isolates each measurement; a query's
+    // OWN persists still hit within its run, which is the semantics a
+    // fresh session per query would give — without paying session
+    // startup 336 times.
+    def isolate(): Unit = spark.sharedState.cacheManager.clearCache()
     // Warmup (untimed): run each query once.
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      isolate()
     }
     // Two timed reps, report the min — steady-state latency, robust to
     // GC/scheduler noise in a single pass.
@@ -26,7 +37,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      isolate()
+      sec
     }
     val results = names.map { name =>
       name -> math.min(timeOne(name), timeOne(name))

@@ -20,10 +20,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ VectorOps.queries ++
       GraphOps.queries ++ MultimodalOps.queries ++ WikitextOps.queries ++
-      graft.streaming.StreamingOps.queries
+      AnalyticsOps.queries ++ graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
       GraphOps.oracle ++ MultimodalOps.oracle ++ WikitextOps.oracle ++
-      graft.streaming.StreamingOps.oracle
+      AnalyticsOps.oracle ++ graft.streaming.StreamingOps.oracle
 }
