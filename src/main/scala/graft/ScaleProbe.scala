@@ -250,6 +250,62 @@ object ScaleProbe {
         scaled("embeddings", k, "vec_id")
           .select(col("vec_id") +: projCols: _*)
       }),
+      "range_join_binned" -> (k => {
+        // q125 shape: interval set fixed, point density per bin grows
+        // k× — pair work (and the ratio) should stay linear in k. A
+        // naive BETWEEN join would go superlinear immediately.
+        val dayMs = 86400000L
+        val bin = 30L * dayMs
+        val win = base("nation")
+          .select(col("n_nationkey").cast("long").as("w_id"))
+          .withColumn("start_ms",
+            lit(788918400000L) + col("w_id") * (90L * dayMs))
+          .withColumn("end_ms",
+            col("start_ms") + (col("w_id") % 7 + 1) * (20L * dayMs))
+          .select(col("w_id"), col("start_ms"), col("end_ms"),
+            explode(sequence(expr(s"start_ms div ${bin}L"),
+              expr(s"end_ms div ${bin}L"))).as("bin"))
+        scaled("orders", k, "o_orderkey")
+          .select(unix_millis(col("o_orderdate").cast("timestamp"))
+            .as("o_ms"), col("o_totalprice"))
+          .withColumn("bin", expr(s"o_ms div ${bin}L"))
+          .join(win, "bin")
+          .filter(col("o_ms").between(col("start_ms"), col("end_ms")))
+          .groupBy("w_id").agg(count(lit(1)).as("n_orders"))
+      }),
+      "pagerank_iter" -> (k => {
+        // q119 shape, one iteration: key-shifted copies replicate the
+        // graph as disjoint components (k× nodes, k× edges) — the
+        // join + dst-shuffle should scale linearly.
+        val eo = scaled("lineitem", k, "l_orderkey", "l_suppkey")
+          .join(scaled("orders", k, "o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        val edges = eo.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        edges.join(deg, "src")
+          .select(col("dst"),
+            expr("(1000000L) div deg").as("share"))
+          .groupBy("dst").agg(sum("share").as("m"))
+      }),
+      "skyline_prefix_max" -> (k => {
+        // q126 shape: group-reduce + two-phase strict prefix max. The
+        // x-group count is bounded by distinct doc lengths, so k× docs
+        // grow the reduce side only — near-flat ratios expected.
+        val pts = scaled("documents", k, "doc_id")
+          .select(length(col("text")).cast("long").as("x"),
+            size(array_distinct(filter(split(lower(col("text")), " "),
+              w => w =!= ""))).cast("long").as("y"))
+        val grp = pts.groupBy("x").agg(max("y").as("gy"))
+        graft.operators.AnalyticsOps
+          .strictPrefixMaxDesc(grp, "x", "gy", "sy")
+          .filter(col("sy").isNull || col("gy") > col("sy"))
+      }),
       "label_blocked_cosine" -> (k => {
         graft.functions.GraftFunctions.register(spark)
         // labels shifted too: block sizes stay constant, total linear.

@@ -150,6 +150,25 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("q126 pareto frontier equals the naive dominance scan") {
+    val pts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        (r.getLong(0), r.getString(1).length.toLong,
+          toks.distinct.length.toLong)
+      }
+    val expected = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y)
+      }
+    }.map { case (id, x, y) => id -> (x, y) }.toMap
+    val got = run("q126_pareto_frontier").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("q124 collocations are ordered, above min-count, and PMI-exact") {
     val rows = run("q124_collocations").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
