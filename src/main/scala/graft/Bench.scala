@@ -28,7 +28,18 @@ object Bench {
     // before the next query. Memory is bounded by ONE query's working
     // set; the reported number is steady-state latency — the same
     // definition the min-of-2-reps always claimed.
-    def isolate(): Unit = spark.sharedState.cacheManager.clearCache()
+    // The gc call is load-bearing: a 127-query run registers thousands
+    // of shuffle/broadcast cleanup references, and with a large heap
+    // old-gen GC may not run for many minutes — when it finally does,
+    // the ContextCleaner drains the whole backlog in one synchronous
+    // storm against the single-threaded BlockManager endpoint,
+    // blocking whatever query is being timed (observed: map-only
+    // queries late in the run going 0.2 s → 6 s). Forcing GC between
+    // queries keeps each drain small and outside every timed window.
+    def isolate(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }

@@ -358,6 +358,41 @@ object AnalyticsOps {
         .select("doc_id", "x", "y")
     }),
 
+    // ---- q127: Z-order (Morton) clustering layout -----------------------
+    // The 100 TB data-skipping layout: interleave the bits of two
+    // bucketed dimensions into one Morton code, range-partition /
+    // sort files by it, and every file covers a NARROW range of BOTH
+    // dimensions — min/max footer pruning then works for predicates
+    // on either column, which a single-column sort gives only for the
+    // leading column. Here: lineitem bucketed 12 bits on part key and
+    // 12 bits on ship-date day, spread/interleaved with the classic
+    // shift-and-mask ladder (pure long arithmetic, bit-identical in
+    // any engine), then per-4096-code chunk (≈ a file) min/max spans
+    // of BOTH dims — the direct measure of pruning quality a layout
+    // optimizer would inspect.
+    "q127_zorder" -> ((s, d) => {
+      def spread(c: Column): Column = {
+        // 16-bit value -> even bit positions of a 32-bit lane
+        val a = bitwise_and(c.bitwiseOR(shiftleft(c, 8)), lit(0x00FF00FFL))
+        val b = bitwise_and(a.bitwiseOR(shiftleft(a, 4)), lit(0x0F0F0F0FL))
+        val e = bitwise_and(b.bitwiseOR(shiftleft(b, 2)), lit(0x33333333L))
+        bitwise_and(e.bitwiseOR(shiftleft(e, 1)), lit(0x55555555L))
+      }
+      def bitwise_and(a: Column, b: Column): Column = a.bitwiseAND(b)
+      table(s, d, "lineitem")
+        .select(col("l_partkey"),
+          expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+            .as("day"))
+        .withColumn("xb", pmod(col("l_partkey"), lit(4096)).cast("long"))
+        .withColumn("yb", pmod(col("day"), lit(4096)))
+        .withColumn("z",
+          spread(col("xb")).bitwiseOR(shiftleft(spread(col("yb")), 1)))
+        .groupBy(expr("z div 4096").as("chunk"))
+        .agg(count(lit(1)).as("n"),
+          min("xb").as("x_min"), max("xb").as("x_max"),
+          min("yb").as("y_min"), max("yb").as("y_max"))
+    }),
+
     // ---- q124: PMI collocations (phrase mining) -------------------------
     // pmi(a,b) = ln( p(ab) / (p(a) p(b)) ) over adjacent-token bigrams,
     // floored to integer micro-nats (exactly the q99/q109 recipe: both
@@ -509,6 +544,28 @@ object AnalyticsOps {
                 count(*) AS n
          FROM v1 FULL OUTER JOIN v2 USING (doc_id)
          GROUP BY 1""",
+    "q127_zorder" ->
+      """WITH b0 AS (
+           SELECT l_partkey % 4096 AS xb,
+                  (epoch_ms(l_shipdate) // 86400000) % 4096 AS yb
+           FROM lineitem),
+         s1 AS (SELECT xb, yb,
+                  (xb | (xb << 8)) & 16711935 AS xs,
+                  (yb | (yb << 8)) & 16711935 AS ys FROM b0),
+         s2 AS (SELECT xb, yb,
+                  (xs | (xs << 4)) & 252645135 AS xs,
+                  (ys | (ys << 4)) & 252645135 AS ys FROM s1),
+         s3 AS (SELECT xb, yb,
+                  (xs | (xs << 2)) & 858993459 AS xs,
+                  (ys | (ys << 2)) & 858993459 AS ys FROM s2),
+         s4 AS (SELECT xb, yb,
+                  (xs | (xs << 1)) & 1431655765 AS xs,
+                  (ys | (ys << 1)) & 1431655765 AS ys FROM s3)
+         SELECT (xs | (ys << 1)) // 4096 AS chunk,
+                count(*) AS n,
+                min(xb) AS x_min, max(xb) AS x_max,
+                min(yb) AS y_min, max(yb) AS y_max
+         FROM s4 GROUP BY 1""",
     "q126_pareto_frontier" ->
       """WITH pts AS (
            SELECT doc_id, CAST(len(text) AS BIGINT) AS x,

@@ -169,6 +169,39 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("q127 zorder chunks bound BOTH dimensions (and match a recompute)") {
+    def spread(v: Long): Long = {
+      var x = v
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_shipdate").collect()
+      .map { r =>
+        val xb = r.getLong(0) % 4096
+        // l_shipdate is TIMESTAMP_NTZ -> LocalDateTime in collect()
+        val ms = r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        val yb = (ms / 86400000L) % 4096
+        (xb, yb, (spread(xb) | (spread(yb) << 1)) / 4096)
+      }
+    val expected = rows.groupBy(_._3).map { case (chunk, g) =>
+      chunk -> (g.length.toLong, g.map(_._1).min, g.map(_._1).max,
+        g.map(_._2).min, g.map(_._2).max)
+    }
+    val got = run("q127_zorder").collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }.toMap
+    assert(got == expected)
+    // the data-skipping property: every chunk spans < 64 in BOTH dims
+    got.values.foreach { case (_, xmin, xmax, ymin, ymax) =>
+      assert(xmax - xmin < 64 && ymax - ymin < 64)
+    }
+  }
+
   test("q124 collocations are ordered, above min-count, and PMI-exact") {
     val rows = run("q124_collocations").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
