@@ -108,6 +108,35 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q122: JSON extraction runs inside whole-stage codegen, " +
+    "pruned scan") {
+    val df = SparkEntry.queries("q122_json_extract")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("get_json_object"))
+    assert(plan.contains("*("), "extraction must be codegen'd")
+    // (AQE wraps stages in leaf nodes, so assert column pruning on the
+    // rendered scan instead of the collected FileSourceScanExec)
+    assert(plan.contains("ReadSchema: struct<event_type:string,props:string>"),
+      s"scan must read only the two referenced columns\n$plan")
+  }
+
+  test("q127: z-order audit is map arithmetic + ONE aggregation shuffle") {
+    val plan = executedPlanString("q127_zorder")
+    assert("Exchange".r.findAllIn(
+      plan.split("== Initial Plan ==").head).length <= 2,
+      s"expected only the groupBy exchange (+AQE read)\n$plan")
+    assert(!plan.contains("Join"), "morton coding must not join")
+  }
+
+  test("q118: sparse-cosine candidate stage has no cartesian pairing") {
+    val df = SparkEntry.queries("q118_sparse_cosine")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q94: chunking is map-only — zero exchanges") {
     val plan = executedPlanString("q94_chunk_windows")
     assert(!plan.contains("Exchange"),
