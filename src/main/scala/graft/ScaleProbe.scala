@@ -323,6 +323,12 @@ object ScaleProbe {
       }))
 
     def time(df: DataFrame): Double = {
+      // same hygiene as Bench: drop caches and drain the shuffle/
+      // broadcast cleanup backlog OUTSIDE the timed window, so a
+      // cleanup storm from earlier probes can't land mid-measurement
+      // (observed inflating late probes ~3×).
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       df.count()
       (System.nanoTime() - t0) / 1e9
