@@ -166,11 +166,15 @@ object AnalyticsOps {
     // integer division on positives, so Spark and DuckDB agree bit-
     // for-bit. Top-20 by rank with deterministic tie-break.
     "q119_pagerank" -> ((s, d) => {
+      // Nodes are LONGS end-to-end — customer 2k, supplier 2k+1 — so
+      // every distinct/join/shuffle moves 8-byte keys; the 'c…'/'s…'
+      // labels are synthesized only for the final 20 rows. (String
+      // node ids measured ~30% slower over the whole loop.)
       val eo = table(s, d, "lineitem")
         .join(table(s, d, "orders"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       // Pre-join deg onto the edge list once and cache THAT: each
       // iteration then only touches (src, dst, deg), so the loop has
@@ -193,6 +197,11 @@ object AnalyticsOps {
       val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
       val edges = materialized(edges0.join(deg, "src"))
       edges0.unpersist()
+      // Every stage eagerly materialized: leaving even a single-
+      // consumer stage lazy (r0, or the last iteration) was measured
+      // 2× slower end-to-end — a lazily-nested broadcast chain
+      // serializes its stage builds poorly, while eager counts on
+      // cached inputs pipeline cleanly.
       var rank = materialized(
         deg.select(col("src").as("id"), lit(1000000L).as("r")))
       (1 to 3).foreach { _ =>
@@ -205,7 +214,11 @@ object AnalyticsOps {
         rank.unpersist()
         rank = next
       }
-      rank.orderBy(col("r").desc, col("id").asc).limit(20)
+      rank
+        .orderBy(col("r").desc, col("id").asc).limit(20)
+        .select(concat(
+          when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")),
+          expr("id div 2")).as("id"), col("r"))
     }),
 
     // ---- q120: cohort retention matrix ---------------------------------
@@ -393,6 +406,31 @@ object AnalyticsOps {
           min("yb").as("y_min"), max("yb").as("y_max"))
     }),
 
+    // ---- q128: token-entropy quality score ------------------------------
+    // Shannon entropy of each document's token distribution — the
+    // information-theoretic boilerplate signal (low entropy = repeated
+    // filler, the thing repetition q90 approximates lexically). Each
+    // token's term -(c/n)·ln(c/n) is floored to integer micro-nats
+    // INDIVIDUALLY and the integers summed (the q99 recipe), so the
+    // result is independent of summation order — stable under any
+    // partitioning, bit-equal across engines evaluating the same IEEE
+    // expression tree. One (doc, token) shuffle with map-side combine
+    // (per-doc vocab bounded), one per-doc merge.
+    "q128_token_entropy" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      val counts = docs.groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+      val n = counts.groupBy("doc_id").agg(sum("c").as("n"))
+      counts.join(n, "doc_id")
+        .withColumn("term_micro",
+          floor(lit(-1e6) * (col("c").cast("double") / col("n")) *
+            log(col("c").cast("double") / col("n"))).cast("long"))
+        .groupBy("doc_id")
+        .agg(max("n").as("n_tokens"),
+          sum("term_micro").as("entropy_micro"))
+    }),
+
     // ---- q124: PMI collocations (phrase mining) -------------------------
     // pmi(a,b) = ln( p(ab) / (p(a) p(b)) ) over adjacent-token bigrams,
     // floored to integer micro-nats (exactly the q99/q109 recipe: both
@@ -472,7 +510,7 @@ object AnalyticsOps {
                >= 250000""",
     "q119_pagerank" ->
       """WITH eo AS (
-           SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          edges AS (SELECT src, dst FROM eo
                    UNION ALL SELECT dst, src FROM eo),
@@ -493,7 +531,9 @@ object AnalyticsOps {
          r3 AS (SELECT dst AS id,
                   CAST(150000 + (sum(share) * 85) // 100 AS BIGINT) AS r
                 FROM c3 GROUP BY dst)
-         SELECT id, r FROM r3 ORDER BY r DESC, id ASC LIMIT 20""",
+         SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS BIGINT)
+                     ELSE 's' || CAST(id // 2 AS BIGINT) END AS id, r
+         FROM (SELECT id, r FROM r3 ORDER BY r DESC, id ASC LIMIT 20)""",
     "q120_cohort_retention" ->
       """WITH ev AS (
            SELECT DISTINCT user_id,
@@ -544,6 +584,22 @@ object AnalyticsOps {
                 count(*) AS n
          FROM v1 FULL OUTER JOIN v2 USING (doc_id)
          GROUP BY 1""",
+    "q128_token_entropy" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split(lower(text), ' '), w -> w <> '')) AS tok
+           FROM documents),
+         counts AS (SELECT doc_id, tok, count(*) AS c
+                    FROM toks GROUP BY doc_id, tok),
+         n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+               FROM counts GROUP BY doc_id)
+         SELECT counts.doc_id, max(n.n) AS n_tokens,
+                CAST(sum(CAST(floor(
+                  -1e6 * (CAST(c AS DOUBLE) / n.n)
+                       * ln(CAST(c AS DOUBLE) / n.n)) AS BIGINT))
+                  AS BIGINT) AS entropy_micro
+         FROM counts JOIN n USING (doc_id)
+         GROUP BY counts.doc_id""",
     "q127_zorder" ->
       """WITH b0 AS (
            SELECT l_partkey % 4096 AS xb,

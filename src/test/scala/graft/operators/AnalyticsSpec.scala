@@ -202,6 +202,31 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q128 token entropy equals a from-scratch recomputation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty))
+    val expected = docs.collect { case (id, toks) if toks.nonEmpty =>
+      val n = toks.length.toDouble
+      val h = toks.groupBy(identity).values.map { g =>
+        val p = g.length / n
+        math.floor(-1e6 * p * math.log(p)).toLong
+      }.sum
+      id -> (toks.length.toLong, h)
+    }.toMap
+    val got = run("q128_token_entropy").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // entropy bounded by ln(vocab size) per doc
+    docs.foreach { case (id, toks) =>
+      if (toks.nonEmpty) {
+        val bound = math.log(toks.distinct.length.toDouble) * 1e6
+        assert(got(id)._2 <= bound + 1, s"doc $id exceeds ln(V) bound")
+      }
+    }
+  }
+
   test("q124 collocations are ordered, above min-count, and PMI-exact") {
     val rows = run("q124_collocations").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
