@@ -544,6 +544,35 @@ object RelationalOps {
             .as("click_id"))
     }),
 
+    // ---- two-hop event-pattern match on chained native as-ofs ----------
+    // MATCH_RECOGNIZE-style sequence detection (view ≤ click ≤ purchase
+    // per user) as TWO composed AsOfJoinExec operators: purchases find
+    // their nearest preceding click, that row finds the nearest view
+    // preceding THE CLICK. AsOfJoinExec propagates the left side's
+    // hash partitioning, so the second hop re-sorts but does NOT
+    // re-shuffle the attributed stream — three exchanges total for a
+    // two-hop pattern at any scale (asserted in AsOfJoinSpec). A null
+    // hop-1 match (no preceding click) null-propagates through hop 2:
+    // the merge never matches a null left time, mirroring SQL ASOF.
+    "q129_pattern_match" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      def side(tpe: String, id: String, t: String) =
+        ev.filter(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id").as(id),
+            col("ts").as(t))
+      val hop1 = graft.plans.AsOf.join(
+        side("purchase", "purchase_id", "ts"),
+        side("click", "click_id", "c_ts"),
+        Seq("user_id"), leftTime = "ts", rightTime = "c_ts",
+        tieBreak = Seq("click_id"))
+      graft.plans.AsOf.join(hop1,
+          side("view", "view_id", "v_ts"),
+          Seq("user_id"), leftTime = "c_ts", rightTime = "v_ts",
+          tieBreak = Seq("view_id"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("view_id"))
+    }),
+
     // ---- pivot: per-user event-type count matrix -----------------------
     "q68_pivot" -> ((s, d) => {
       table(s, d, "events")
@@ -794,6 +823,29 @@ object RelationalOps {
          ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events
                          WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q129_pattern_match" ->
+      """WITH pc AS (
+           SELECT p.user_id, p.event_id AS purchase_id,
+                  c.event_id AS click_id, c.ts AS c_ts
+           FROM (SELECT user_id, event_id, ts FROM events
+                 WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events
+                           WHERE event_type = 'click') c
+             ON p.user_id = c.user_id AND p.ts >= c.ts)
+         -- DuckDB's ASOF treats a NULL probe time as +infinity (it
+         -- would attribute the LATEST view to purchases with no click);
+         -- the engine's contract is that a null time never matches, so
+         -- null-click rows bypass the second hop explicitly.
+         SELECT pc.user_id, pc.purchase_id, pc.click_id,
+                v.event_id AS view_id
+         FROM (SELECT * FROM pc WHERE click_id IS NOT NULL) pc
+         ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events
+                         WHERE event_type = 'view') v
+           ON pc.user_id = v.user_id AND pc.c_ts >= v.ts
+         UNION ALL
+         SELECT user_id, purchase_id, CAST(NULL AS BIGINT),
+                CAST(NULL AS BIGINT)
+         FROM pc WHERE click_id IS NULL""",
     "q68_pivot" ->
       """SELECT user_id,
          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -115,6 +115,48 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 10L, 100L)))
   }
 
+  test("q129 two-hop pattern equals a naive recompute; hop 2 adds no " +
+    "exchange") {
+    val df = graft.operators.RelationalOps
+      .queries("q129_pattern_match")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert("AsOfJoin ".r.findAllIn(plan).length >= 2,
+      s"both hops must plan through the native exec\n$plan")
+    // 3 shuffles: purchases, clicks, views — the attributed stream
+    // between the hops is re-sorted, never re-partitioned.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length == 3,
+      s"expected exactly three exchanges\n$finalPlan")
+
+    val ev = graft.Tables.table(spark, sf, "events") // ts as ns long
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    def nearest(user: Long, tpe: String, t: Long): Option[Long] = {
+      val c = ev.filter(e => e._1 == user && e._3 == tpe && e._4 <= t)
+      if (c.isEmpty) None
+      else { val mt = c.map(_._4).max
+             Some(c.filter(_._4 == mt).map(_._2).max) } // last-in-order
+    }
+    val expected = ev.filter(_._3 == "purchase").map { p =>
+      val click = nearest(p._1, "click", p._4)
+      val view = click.flatMap { cid =>
+        val cts = ev.find(e => e._2 == cid).get._4
+        nearest(p._1, "view", cts)
+      }
+      (p._1, p._2, click, view)
+    }.toSet
+    val got = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))
+    }.toSet
+    assert(got == expected)
+    assert(got.exists(_._4.nonEmpty), "at least one full chain expected")
+  }
+
   test("rejects an empty key list up front") {
     val (l, r) = edges
     val e = intercept[IllegalArgumentException] {
