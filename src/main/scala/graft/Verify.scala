@@ -16,9 +16,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Drop caches left by queries that persist() intermediates, so
-      // resident cached data can't accumulate across the 100+ queries
-      // (see the matching note in Bench).
+      // resident cached data can't accumulate across the 100+ queries,
+      // and force GC so shuffle/broadcast cleanup drains in small steps
+      // instead of one storm (see the matching note in Bench).
       spark.sharedState.cacheManager.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
