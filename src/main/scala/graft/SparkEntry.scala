@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ VectorOps.queries ++
       GraphOps.queries ++ MultimodalOps.queries ++ WikitextOps.queries ++
-      AnalyticsOps.queries ++ graft.streaming.StreamingOps.queries
+      AnalyticsOps.queries ++ AuditOps.queries ++
+      graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
       GraphOps.oracle ++ MultimodalOps.oracle ++ WikitextOps.oracle ++
-      AnalyticsOps.oracle ++ graft.streaming.StreamingOps.oracle
+      AnalyticsOps.oracle ++ AuditOps.oracle ++
+      graft.streaming.StreamingOps.oracle
 }

@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** Round-4 audit wave: corpus-governance and behavior-analytics shapes
+  * a 100 TB training-data pipeline runs between ingestion and training —
+  *
+  *   - deterministic per-source sampling (q130): the "cap every source
+  *     at k documents" QA draw, keyed by a content-independent hash so
+  *     the sample is reproducible across reruns and engines;
+  *   - cross-source overlap audit (q131): pairwise shingle-set Jaccard
+  *     between sources — the "how much of dump B is already in dump A"
+  *     question every corpus refresh asks. Candidates come from the
+  *     per-source-distinct shingle posting lists, so the pair stage is
+  *     bounded by #sources per shingle, never an all-pairs product;
+  *   - time-decayed engagement (q132): per-user exponentially decayed
+  *     activity score in pure integer arithmetic (micro-units halved
+  *     per age period via arithmetic shift), so the cross-engine sums
+  *     are bit-exact — the freshness-weighting trick for "recency
+  *     score" columns without float-sum nondeterminism;
+  *   - event-transition matrix (q133): first-order Markov counts +
+  *     per-prior probabilities (ppm) over each user's event timeline —
+  *     lead() per user, then one tiny aggregate;
+  *   - per-language quality deciles (q134): type-token-ratio scored
+  *     docs ntile(10)'d WITHIN language — per-group thresholds are the
+  *     correct curation filter when languages differ in baseline
+  *     quality (a global cut would silently drop low-resource langs);
+  *   - one-pass column profiling (q135): null count / exact distinct /
+  *     min / max for every column of a table in a SINGLE scan (the
+  *     multi-distinct Expand), unpivoted with stack() into the
+  *     (column, stats) shape a data-catalog expects.
+  *
+  * All six hash-match the DuckDB oracle on the driver testdata.
+  * Reference context: the reference's QA surface is row counts and
+  * spot queries (`dedup_parquet.py` prints per-table row counts); these
+  * are the corpus-scale generalizations of that audit step.
+  */
+object AuditOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokenize into non-empty lowercase word array (TextOps contract). */
+  private def words(c: Column): Column =
+    filter(split(lower(c), " "), w => w =!= "")
+
+  /** 3-day half-life period for q132, in event-time nanoseconds. */
+  private val NsPerPeriod = 3L * 86400L * 1000L * 1000L * 1000L
+
+  val queries: Map[String, Q] = Map(
+    // ---- q130: deterministic k-per-source sample -----------------------
+    // Order inside each source by md5(doc_id) — a content-independent
+    // uniform draw that reruns identically anywhere md5 exists. The
+    // window is partitioned by source, so the sort is per-group; at
+    // 100 TB with huge groups, prepend a hash-prefix prefilter
+    // (keep h < bound chosen from the per-source counts) so the exact
+    // rank only sees ~k×slack rows per group instead of the full group.
+    "q130_sample_per_source" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("h"), col("doc_id"))
+      table(s, d, "documents")
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("doc_id"), col("rn"))
+    }),
+
+    // ---- q131: cross-source shingle overlap (Jaccard, ppm) -------------
+    // Sets are DISTINCT (source, shingle) — so every posting list the
+    // pair stage joins through is at most #sources long by
+    // construction. The shuffles are: one distinct (by source+shingle),
+    // one join keyed by shingle, one pair aggregate. No stage is
+    // quadratic in corpus size; the output is #source-pairs rows.
+    "q131_source_overlap" -> ((s, d) => {
+      val sh = table(s, d, "documents")
+        .withColumn("tokens", words(col("text")))
+        .filter(size(col("tokens")) >= 3)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(tokens) - 3),
+               i -> concat_ws(' ', slice(tokens, i + 1, 3)))"""))
+          .as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      sh.select(col("source").as("src_a"), col("shingle"))
+        .join(sh.select(col("source").as("src_b"), col("shingle")),
+          "shingle")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("source").as("src_a"), col("n").as("na")),
+          "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          expr("(inter * 1000000) div (na + nb - inter)")
+            .as("jaccard_ppm"))
+    }),
+
+    // ---- q132: time-decayed engagement score ---------------------------
+    // decayed = Σ floor(value·1e6) >> age_periods — halving per 3-day
+    // period. Integer end-to-end after the one floor(), so partial
+    // aggregation (map-side combine) is exact and order-independent:
+    // the whole query is one broadcast of the max-ts scalar plus one
+    // shuffle on user_id. Float-weighted sums (value·0.5^age) would be
+    // partition-order-dependent; the shift formulation is not.
+    "q132_time_decay" -> ((s, d) => {
+      val e = table(s, d, "events")
+      val ref = e.agg(max(col("ts")).as("ref_ts"))
+      e.crossJoin(broadcast(ref))
+        .withColumn("age_p",
+          expr(s"cast((ref_ts - ts) div ${NsPerPeriod}L as int)"))
+        .withColumn("micro",
+          expr("cast(floor(value * 1000000.0) as bigint)"))
+        .groupBy("user_id")
+        .agg(sum(expr("shiftright(micro, age_p)")).as("decayed_micro"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ---- q133: first-order event-transition matrix ---------------------
+    // lead() inside each user's timeline (one shuffle, keyed by
+    // user_id — co-partitioned with every other per-user stage), then
+    // a tiny (type × type) aggregate joined against per-prior totals.
+    "q133_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val tr = table(s, d, "events")
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("from_type").agg(sum("n").as("tot"))
+      tr.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(n * 1000000) div tot").as("ppm"))
+    }),
+
+    // ---- q134: per-language quality deciles ----------------------------
+    // Score = type-token ratio in ppm (integer-exact). ntile(10) is
+    // made deterministic by the (score, doc_id) total order; the decile
+    // cut points are per-language, which is the honest way to threshold
+    // quality across languages with different baselines.
+    "q134_quality_deciles" -> ((s, d) => {
+      val scored = table(s, d, "documents")
+        .withColumn("t", words(col("text")))
+        .filter(size(col("t")) > 0)
+        .select(col("lang"), col("doc_id"),
+          expr("""(cast(size(array_distinct(t)) as bigint) * 1000000)
+                  div size(t)""").as("ttr_ppm"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("ttr_ppm"), col("doc_id"))
+      scored.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("ttr_ppm").as("min_ttr"), max("ttr_ppm").as("max_ttr"))
+    }),
+
+    // ---- q135: one-pass column profile ---------------------------------
+    // Every column's null count, exact distinct count, and (where the
+    // string rendering is engine-portable: integers and strings) min /
+    // max — in ONE scan. The multiple count-distincts plan as a single
+    // Expand, so at 100 TB this is one pass over the table, not one
+    // pass per column the way naive per-column profilers run. Doubles /
+    // timestamps keep null min_s/max_s (their string renderings are not
+    // portable across engines); their null and distinct counts are real.
+    "q135_profile_stats" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val strSafe = Set("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val aggs = cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          countDistinct(col(c)).as(s"nd_$c")) ++
+          (if (strSafe(c))
+            Seq(min(col(c)).cast("string").as(s"min_$c"),
+              max(col(c)).cast("string").as(s"max_$c"))
+          else Nil)
+      }
+      val wide = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = cols.map { c =>
+        val mm = if (strSafe(c)) s"min_$c, max_$c"
+          else "cast(null as string), cast(null as string)"
+        s"'$c', null_$c, nd_$c, $mm"
+      }.mkString(", ")
+      wide.selectExpr("n_rows",
+        s"stack(${cols.length}, $stackArgs) " +
+          "as (col_name, n_null, n_distinct, min_s, max_s)")
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }))
+
+  private val shingleSetsCte =
+    """sh AS (
+         SELECT DISTINCT source, shingle FROM (
+           SELECT source,
+             unnest(list_transform(range(0, len(tokens) - 2),
+               i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' ')))
+               AS shingle
+           FROM (SELECT source,
+                   list_filter(string_split(lower(text), ' '), w -> w <> '')
+                     AS tokens
+                 FROM documents)
+           WHERE len(tokens) >= 3))"""
+
+  val oracle: Map[String, String] = Map(
+    "q130_sample_per_source" ->
+      """SELECT source, doc_id, rn FROM (
+           SELECT source, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS rn
+           FROM documents)
+         WHERE rn <= 10""",
+
+    "q131_source_overlap" ->
+      s"""WITH $shingleSetsCte,
+         sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         iv AS (SELECT a.source AS src_a, b.source AS src_b,
+                  count(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.source < b.source
+                GROUP BY 1, 2)
+         SELECT iv.src_a, iv.src_b, iv.inter,
+           (iv.inter * 1000000) // (za.n + zb.n - iv.inter) AS jaccard_ppm
+         FROM iv JOIN sz za ON iv.src_a = za.source
+                 JOIN sz zb ON iv.src_b = zb.source""",
+
+    "q132_time_decay" ->
+      """WITH ref AS (SELECT max(epoch_ns(ts)) AS ref_ts FROM events)
+         SELECT user_id,
+           CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)
+                    >> CAST((ref_ts - epoch_ns(ts)) // 259200000000000
+                            AS INT)) AS BIGINT) AS decayed_micro,
+           count(*) AS n_events
+         FROM events, ref GROUP BY user_id""",
+
+    "q133_markov_transitions" ->
+      """WITH tr AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n
+               FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+               FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n, (c.n * 1000000) // t.tot AS ppm
+         FROM c JOIN t ON c.from_type = t.from_type""",
+
+    "q134_quality_deciles" ->
+      """WITH q AS (
+           SELECT lang, doc_id,
+             (CAST(len(list_distinct(t)) AS BIGINT) * 1000000) // len(t)
+               AS ttr_ppm
+           FROM (SELECT lang, doc_id,
+                   list_filter(string_split(lower(text), ' '), w -> w <> '')
+                     AS t
+                 FROM documents)
+           WHERE len(t) > 0),
+         b AS (SELECT lang, ttr_ppm,
+                 CAST(ntile(10) OVER (
+                   PARTITION BY lang ORDER BY ttr_ppm, doc_id) AS BIGINT)
+                   AS decile
+               FROM q)
+         SELECT lang, decile, count(*) AS n_docs,
+           min(ttr_ppm) AS min_ttr, max(ttr_ppm) AS max_ttr
+         FROM b GROUP BY 1, 2""",
+
+    "q135_profile_stats" -> {
+      val specs = Seq(
+        ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", true),
+        ("o_totalprice", false), ("o_orderdate", false),
+        ("o_orderpriority", true))
+      specs.map { case (c, safe) =>
+        val mm = if (safe)
+          s"CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s"
+        else "CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s"
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           count(DISTINCT $c) AS n_distinct, $mm
+           FROM orders"""
+      }.mkString(" UNION ALL ")
+    })
+}

@@ -116,12 +116,44 @@ object GraphOps {
             .otherwise(0)).cast("long").as("n_chars_dropped"))
         .select(col("component").as("doc_id"), col("family_size"),
           col("n_chars_kept"), col("n_chars_dropped"))
+    }),
+
+    // ---- q136: near-dup graph quality audit ----------------------------
+    // Degree + triangle count + clustering coefficient per node of the
+    // LSH candidate graph. A healthy near-dup graph is clique-like
+    // (duplicate families are mutual), so LOW clustering coefficients
+    // flag suspect edges — hash-collision bridges between unrelated
+    // docs — before the dedup pass erases documents. Triangles are
+    // enumerated once each on the oriented (a < b) edge list with the
+    // standard two-join; all stages key on doc ids, and the edge list
+    // is candidate pairs (bounded by the LSH bucket cap), never the
+    // corpus, so the whole audit is a tiny sidecar job at any scale.
+    "q136_dup_graph_stats" -> ((s, d) => {
+      val e = TextOps.lshPairs(s, d).persist() // tiny; reused 3×
+      val deg = e.select(explode(array(col("a_id"), col("b_id")))
+          .as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      val tri = e
+        .join(e.select(col("a_id").as("b_id"), col("b_id").as("c_id")),
+          "b_id")
+        .join(e.select(col("a_id"), col("b_id").as("c_id")),
+          Seq("a_id", "c_id"))
+        .select(explode(array(col("a_id"), col("b_id"), col("c_id")))
+          .as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      deg.join(tri, Seq("doc_id"), "left_outer")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("cc_ppm", expr(
+          """case when degree >= 2
+             then (2000000 * n_tri) div (degree * (degree - 1))
+             else cast(0 as bigint) end"""))
+        .select("doc_id", "degree", "n_tri", "cc_ppm")
     }))
 
-  // Same LSH pair derivation as q37, then transitive closure via a
-  // recursive CTE: component(id) = min id reachable from id.
-  private val reachCte =
-    """WITH RECURSIVE sigs AS (
+  // Same LSH pair derivation as q37 (shared by the component and
+  // triangle oracles below).
+  private val pairsCte =
+    """sigs AS (
            SELECT doc_id,
              md5(min(substr(md5(shingle), 1, 8))
                  || min(substr(md5(shingle), 9, 8))) AS b0,
@@ -141,7 +173,12 @@ object GraphOps {
              FROM sigs l JOIN sigs r ON l.b0 = r.b0 AND l.doc_id < r.doc_id
              UNION ALL
              SELECT l.doc_id AS a_id, r.doc_id AS b_id
-             FROM sigs l JOIN sigs r ON l.b1 = r.b1 AND l.doc_id < r.doc_id)),
+             FROM sigs l JOIN sigs r ON l.b1 = r.b1 AND l.doc_id < r.doc_id))"""
+
+  // Transitive closure over the pair graph via a recursive CTE:
+  // component(id) = min id reachable from id.
+  private val reachCte =
+    s"""WITH RECURSIVE $pairsCte,
          edges AS (
            SELECT a_id AS src, b_id AS dst FROM pairs
            UNION ALL SELECT b_id, a_id FROM pairs),
@@ -168,5 +205,27 @@ object GraphOps {
                               THEN d.n_chars ELSE 0 END) AS BIGINT)
                   AS n_chars_dropped
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-         GROUP BY coalesce(c.component, d.doc_id)""")
+         GROUP BY coalesce(c.component, d.doc_id)""",
+
+    "q136_dup_graph_stats" ->
+      s"""WITH $pairsCte,
+         tri AS (
+           SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+           FROM pairs e1
+           JOIN pairs e2 ON e1.b_id = e2.a_id
+           JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+         tn AS (SELECT node, count(*) AS n_tri
+                FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+                GROUP BY 1),
+         dg AS (SELECT node, count(*) AS degree
+                FROM (SELECT a_id AS node FROM pairs
+                      UNION ALL SELECT b_id FROM pairs)
+                GROUP BY 1)
+         SELECT dg.node AS doc_id, dg.degree,
+           CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(CASE WHEN dg.degree >= 2
+                THEN (2000000 * coalesce(tn.n_tri, 0))
+                     // (dg.degree * (dg.degree - 1))
+                ELSE 0 END AS BIGINT) AS cc_ppm
+         FROM dg LEFT JOIN tn ON dg.node = tn.node""")
 }

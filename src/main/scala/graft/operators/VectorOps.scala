@@ -103,6 +103,38 @@ object VectorOps {
         .filter(col("cosine") > 0.3)
     }),
 
+    // ---- mutual-kNN pairs: the symmetric near-dup graph ----------------
+    // A pair survives only if each vector ranks the other in its top-3
+    // by cosine — reciprocity is the classic filter that strips hub
+    // vectors (one generic embedding near everything) out of the dup
+    // graph before clustering. Candidates here are label blocks (the
+    // sf-scale exact oracle, like q42); at corpus scale swap the
+    // candidate stage for q49's LSH buckets or q86's IVF cells — the
+    // rank + reciprocity stages shuffle only (a_id, b_id, cos) rows
+    // keyed by vec id and are unchanged by the candidate source.
+    "q137_mutual_knn" -> ((s0, d) => {
+      val s = withFns(s0)
+      val e = table(s, d, "embeddings")
+        .select(col("label"), col("vec_id"), col("embedding"),
+          norm("embedding").as("nrm"))
+      val a = e.select(col("label"), col("vec_id").as("a_id"),
+        col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+      val b = e.select(col("label"), col("vec_id").as("b_id"),
+        col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+      val p = a.join(b, "label").filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(dot("a_vec", "b_vec") / (col("a_nrm") * col("b_nrm")), 6)
+            .as("cos_r"))
+      val w = Window.partitionBy("a_id")
+        .orderBy(col("cos_r").desc, col("b_id"))
+      val knn = p.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("a_id", "b_id", "cos_r").persist()
+      knn.filter(col("a_id") < col("b_id"))
+        .join(knn.select(col("a_id").as("b_id"), col("b_id").as("a_id")),
+          Seq("a_id", "b_id"), "left_semi")
+    }),
+
     // ---- brute-force cosine top-k against a query vector ---------------
     "q40_cosine_topk" -> ((s0, d) => {
       val s = withFns(s0)
@@ -660,6 +692,25 @@ object VectorOps {
                    x -> CAST(x AS DOUBLE) * x))), 6) AS nrm
                FROM embeddings)
          GROUP BY label""",
+    "q137_mutual_knn" ->
+      """WITH p AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_r
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         k AS (
+           SELECT a_id, b_id, cos_r FROM (
+             SELECT p.*, row_number() OVER (
+               PARTITION BY a_id ORDER BY cos_r DESC, b_id) AS rk
+             FROM p)
+           WHERE rk <= 3)
+         SELECT x.a_id, x.b_id, x.cos_r FROM k x
+         WHERE x.a_id < x.b_id
+           AND EXISTS (SELECT 1 FROM k y
+                       WHERE y.a_id = x.b_id AND y.b_id = x.a_id)""",
+
     "q42_cosine_neardup" ->
       """SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

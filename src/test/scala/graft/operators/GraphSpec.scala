@@ -60,4 +60,28 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(members.keySet.min == cid)
     }
   }
+
+  test("q136 graph stats match a Scala recomputation on the LSH pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = TextOps.lshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val expected = adj.map { case (n, nbrs) =>
+      val deg = nbrs.size.toLong
+      // triangles at n = adjacent neighbor pairs
+      val tri = nbrs.toSeq.combinations(2).count {
+        case Seq(x, y) => adj(x).contains(y)
+      }.toLong
+      val cc = if (deg >= 2) 2000000L * tri / (deg * (deg - 1)) else 0L
+      n -> ((deg, tri, cc))
+    }
+    val got = GraphOps.queries("q136_dup_graph_stats")(spark, sf)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // handshake: total triangle incidences divide by 3
+    assert(got.values.map(_._2).sum % 3 == 0)
+  }
 }

@@ -103,4 +103,39 @@ class VectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"pair $pair cosine $c not confirmed by exact scan")
     }
   }
+
+  test("q137 mutual-kNN pairs are exactly the reciprocal top-3 edges") {
+    // Independent recomputation in plain Scala: per-label all-pairs
+    // cosine (sequential double accumulation — the ArrayDot contract),
+    // round half-up to 6, rank by (cos desc, id), keep reciprocal pairs.
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    def cosR(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val knn: Map[Long, Seq[Long]] = rows.map { case (id, lab, v) =>
+      id -> rows.filter(o => o._2 == lab && o._1 != id)
+        .map(o => (cosR(v, o._3), o._1))
+        .sortBy { case (c, oid) => (-c, oid) }
+        .take(3).map(_._2).toSeq
+    }.toMap
+    val expected = (for {
+      (a, nbrs) <- knn.toSeq; b <- nbrs
+      if a < b && knn(b).contains(a)
+    } yield (a, b)).toSet
+    val got = VectorOps.queries("q137_mutual_knn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
