@@ -236,4 +236,46 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .findAllIn(plan).length
     assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles\n$plan")
   }
+
+  test("q135: profile avoids the multi-distinct Expand/sort cascade") {
+    val plan = executedPlanString("q135_profile_stats")
+    // The naive agg(countDistinct×6) plans Expand + a 3-level
+    // SortAggregate cascade keyed on every profiled column (measured
+    // 3.1 s warm at sf0.1). The unpivot shape must keep aggregation
+    // hash-based and expansion-free.
+    assert(!plan.contains("Expand"), "multi-distinct Expand crept back")
+    assert(!plan.contains("SortAggregate") || plan.contains("HashAggregate"),
+      "distinct counting must be hash-aggregated")
+    // null/min/max stats join in as a broadcast of a 1-row aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
+  test("q132: decay reference is a broadcast scalar; one user shuffle") {
+    val plan = executedPlanString("q132_time_decay")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "max-ts must ride the plan as a broadcast, not a driver action")
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // shuffles only in the final plan section.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(shuffles <= 1,
+      s"decayed aggregation needs one user_id shuffle, got $shuffles")
+  }
+
+  test("q137: mutual-kNN pair stage is equi-join only; knn reused") {
+    val plan = executedPlanString("q137_mutual_knn")
+    assert(!plan.contains("CartesianProduct"),
+      "candidate generation must block on label, never all-pairs")
+    assert(plan.contains("InMemoryTableScan"),
+      "the ranked knn list must be persisted for the reciprocity join")
+  }
+
+  test("q131: overlap joins through the persisted shingle sets") {
+    val plan = executedPlanString("q131_source_overlap")
+    assert(plan.contains("InMemoryTableScan"),
+      "the (source, shingle) set must be computed once, not per consumer")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
