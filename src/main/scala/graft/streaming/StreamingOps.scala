@@ -191,9 +191,18 @@ object StreamingOps {
     "q66_stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "q67_session_window" -> ((s, d) => sessionWindowAgg(s, d)),
     "q91_stream_enrich" -> ((s, d) => streamStaticEnrich(s, d)),
-    "q107_stream_neardup_index" -> ((s, d) => streamNeardupIndex(s, d)))
+    "q107_stream_neardup_index" -> ((s, d) => streamNeardupIndex(s, d)),
+    "q138_stream_state_profile" ->
+      ((s, d) => StateProfile.streamStateProfile(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // Stream == batch: the transformWithState profile equals the plain
+    // group-by over the same events.
+    "q138_stream_state_profile" ->
+      """SELECT user_id, count(*) AS n_events,
+         max(CAST(floor(value * 100) AS BIGINT)) AS max_cents,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+         FROM events GROUP BY user_id""",
     // Identical to the q28 batch oracle — stream == batch equivalence.
     "q52_stream_window" ->
       """SELECT strftime(make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000),

@@ -160,4 +160,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0) == Session(1, 1000 * ns, 1010 * ns, 2)) // closed by gap
     assert(out(1) == Session(1, 4000 * ns, 4000 * ns, 1)) // by timeout
   }
+
+  test("transformWithState profile accumulates across microbatches") {
+    import StateProfile.{ProfileEvent, UserProfile, UserProfileProcessor}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ProfileEvent]
+      val out = input.toDS().groupByKey(_.user_id)
+        .transformWithState(new UserProfileProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName("profile_out").trigger(Trigger.ProcessingTime(0))
+        .start()
+      // Three micro-batches; user 1's state must carry across them,
+      // including the distinct-type MapState.
+      input.addData(ProfileEvent(1, "view", 100),
+        ProfileEvent(1, "view", 50))
+      q.processAllAvailable()
+      input.addData(ProfileEvent(1, "click", 300),
+        ProfileEvent(2, "view", 10))
+      q.processAllAvailable()
+      input.addData(ProfileEvent(1, "view", 200))
+      q.processAllAvailable()
+      q.stop()
+
+      // final row per user = the emission with the largest n_events
+      val finals = spark.table("profile_out").as[UserProfile].collect()
+        .groupBy(_.user_id).map(_._2.maxBy(_.n_events))
+        .map(p => p.user_id -> p).toMap
+      assert(finals(1L) == UserProfile(1, 4, 300, 2))
+      assert(finals(2L) == UserProfile(2, 1, 10, 1))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
