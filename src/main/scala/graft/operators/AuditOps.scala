@@ -163,6 +163,25 @@ object AuditOps {
           min("ttr_ppm").as("min_ttr"), max("ttr_ppm").as("max_ttr"))
     }),
 
+    // ---- q141: rolling time-series features ----------------------------
+    // The feature-engineering pass a behavioral model trains on: per
+    // event, the previous value (lag 1) and the rolling count/sum over
+    // the trailing 5-row frame of that user's timeline. One shuffle
+    // keyed on user_id (co-partitioned with q132/q133); frames are
+    // ROWS-bounded so window state is O(frame), and values ride as
+    // integer cents so the rolling sums are engine-exact.
+    "q141_lag_features" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(-4, 0)
+      table(s, d, "events")
+        .withColumn("cents", expr("cast(floor(value * 100) as bigint)"))
+        .select(col("event_id"), col("user_id"), col("cents"),
+          lag(col("cents"), 1).over(w).as("prev_cents"),
+          count(lit(1)).over(wf).cast("long").as("roll_n"),
+          sum(col("cents")).over(wf).as("roll_cents"))
+    }),
+
     // ---- q135: column profile, two map-combined passes -----------------
     // Every column's null count, exact distinct count, and (where the
     // string rendering is engine-portable: integers and strings) min /
@@ -295,6 +314,19 @@ object AuditOps {
          SELECT lang, decile, count(*) AS n_docs,
            min(ttr_ppm) AS min_ttr, max(ttr_ppm) AS max_ttr
          FROM b GROUP BY 1, 2""",
+
+    "q141_lag_features" ->
+      """SELECT event_id, user_id, cents,
+           lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_cents,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_n,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS roll_cents
+         FROM (SELECT event_id, user_id, ts,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events)""",
 
     "q135_profile_stats" -> {
       val specs = Seq(

@@ -118,6 +118,36 @@ object GraphOps {
           col("n_chars_kept"), col("n_chars_dropped"))
     }),
 
+    // ---- q139: canonical selection by quality --------------------------
+    // The realistic dedup keep-policy: within each duplicate family,
+    // keep the HIGHEST-QUALITY document (type-token ratio, doc_id
+    // tie-break), not the arbitrary min-id that q98 demonstrates.
+    // Corpus-side work is one scoring pass + one left join against the
+    // (tiny) component map + one per-family rank; the window partitions
+    // by family, whose size is bounded by the LSH bucket cap.
+    "q139_canonical_pick" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val comp = connectedComponentsFixed(TextOps.lshPairs(s, d), rounds = 6)
+        .withColumnRenamed("id", "doc_id")
+      val scored = table(s, d, "documents")
+        .withColumn("t",
+          filter(split(lower(col("text")), " "), w => w =!= ""))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"),
+          expr("""(cast(size(array_distinct(t)) as bigint) * 1000000)
+                  div size(t)""").as("ttr_ppm"))
+      val fam = scored.join(comp, Seq("doc_id"), "left_outer")
+        .withColumn("family", coalesce(col("comp"), col("doc_id")))
+      val w = Window.partitionBy("family")
+        .orderBy(col("ttr_ppm").desc, col("doc_id"))
+      fam.withColumn("rn", row_number().over(w))
+        .withColumn("n_docs",
+          count(lit(1)).over(Window.partitionBy("family")))
+        .filter(col("rn") === 1)
+        .select(col("family").as("family_id"), col("doc_id").as("keep_doc"),
+          col("ttr_ppm").as("keep_ttr"), col("n_docs"))
+    }),
+
     // ---- q136: near-dup graph quality audit ----------------------------
     // Degree + triangle count + clustering coefficient per node of the
     // LSH candidate graph. A healthy near-dup graph is clique-like
@@ -206,6 +236,33 @@ object GraphOps {
                   AS n_chars_dropped
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          GROUP BY coalesce(c.component, d.doc_id)""",
+
+    "q139_canonical_pick" ->
+      s"""$reachCte,
+         comp AS (SELECT id AS doc_id, min(r) AS component
+                  FROM reach GROUP BY id),
+         scored AS (
+           SELECT doc_id,
+             (CAST(len(list_distinct(t)) AS BIGINT) * 1000000) // len(t)
+               AS ttr_ppm
+           FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), w -> w <> '')
+                     AS t
+                 FROM documents)
+           WHERE len(t) > 0),
+         fam AS (
+           SELECT s.doc_id, s.ttr_ppm,
+             coalesce(c.component, s.doc_id) AS family
+           FROM scored s LEFT JOIN comp c ON s.doc_id = c.doc_id),
+         ranked AS (
+           SELECT fam.*,
+             row_number() OVER (
+               PARTITION BY family ORDER BY ttr_ppm DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY family) AS n_docs
+           FROM fam)
+         SELECT family AS family_id, doc_id AS keep_doc,
+                ttr_ppm AS keep_ttr, n_docs
+         FROM ranked WHERE rn = 1""",
 
     "q136_dup_graph_stats" ->
       s"""WITH $pairsCte,

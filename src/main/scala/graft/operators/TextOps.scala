@@ -108,6 +108,45 @@ object TextOps {
       .distinct()
 
   val queries: Map[String, Q] = Map(
+    // ---- q140: MinHash sketch accuracy audit ---------------------------
+    // For every LSH candidate pair: the Jaccard ESTIMATE the 4-slot
+    // signature implies (matching slots / 4) next to the EXACT shingle
+    // Jaccard, plus the absolute error. This is the sketch-quality
+    // gate a dedup deployment runs before trusting MinHash at scale:
+    // systematic over-estimation means the band/slot budget is wrong.
+    // Exact scoring touches only candidate pairs (never all-pairs);
+    // the signature table and the distinct shingle sets are persisted
+    // — each feeds two consumers.
+    "q140_minhash_accuracy" -> ((s, d) => {
+      val sigs = minhashSigs(s, d).persist()
+      val pairs = lshPairsOf(sigs, MaxLshBucket)
+      val sh = shingled(s, d).distinct().persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = pairs
+        .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+          Seq("b_id", "shingle"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      val a = sigs.select(col("doc_id").as("a_id"), col("sig0").as("a0"),
+        col("sig1").as("a1"), col("sig2").as("a2"), col("sig3").as("a3"))
+      val b = sigs.select(col("doc_id").as("b_id"), col("sig0").as("b0"),
+        col("sig1").as("b1"), col("sig2").as("b2"), col("sig3").as("b3"))
+      pairs.join(a, "a_id").join(b, "b_id")
+        .withColumn("est_ppm",
+          ((0 to 3).map(i => when(col(s"a$i") === col(s"b$i"), 1)
+            .otherwise(0)).reduce(_ + _)).cast("long") * 250000)
+        .join(inter, Seq("a_id", "b_id"), "left_outer")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")),
+          "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")),
+          "b_id")
+        .withColumn("jac_ppm",
+          expr("(inter * 1000000) div (sza + szb - inter)"))
+        .select(col("a_id"), col("b_id"), col("est_ppm"), col("jac_ppm"),
+          abs(col("est_ppm") - col("jac_ppm")).as("err_ppm"))
+    }),
+
     // ---- P5/F11: regex predicate over document text --------------------
     "q27_regexp_filter" -> ((s, d) => {
       table(s, d, "documents")
@@ -1122,6 +1161,62 @@ object TextOps {
                  FROM documents)
            WHERE len(tokens) >= 3)
          GROUP BY doc_id""",
+    "q140_minhash_accuracy" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '')
+               AS tokens
+           FROM documents),
+         shingles AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, unnest(list_transform(range(0, len(tokens) - 2),
+               i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' ')))
+               AS shingle
+             FROM toks WHERE len(tokens) >= 3)),
+         sigs AS (
+           SELECT doc_id,
+             min(substr(md5(shingle), 1, 8)) AS s0,
+             min(substr(md5(shingle), 9, 8)) AS s1,
+             min(substr(md5(shingle), 17, 8)) AS s2,
+             min(substr(md5(shingle), 25, 8)) AS s3
+           FROM shingles GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, md5(s0 || s1) AS b0, md5(s2 || s3) AS b1
+           FROM sigs),
+         pairs AS (
+           SELECT DISTINCT a_id, b_id FROM (
+             SELECT l.doc_id AS a_id, r.doc_id AS b_id
+             FROM bands l JOIN bands r
+               ON l.b0 = r.b0 AND l.doc_id < r.doc_id
+             UNION ALL
+             SELECT l.doc_id AS a_id, r.doc_id AS b_id
+             FROM bands l JOIN bands r
+               ON l.b1 = r.b1 AND l.doc_id < r.doc_id)),
+         sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+         iv AS (
+           SELECT p.a_id, p.b_id, count(*) AS inter
+           FROM pairs p
+           JOIN shingles x ON x.doc_id = p.a_id
+           JOIN shingles y ON y.doc_id = p.b_id AND y.shingle = x.shingle
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, est_ppm, jac_ppm,
+                abs(est_ppm - jac_ppm) AS err_ppm
+         FROM (
+           SELECT p.a_id, p.b_id,
+             CAST(((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END))
+                 * 250000 AS BIGINT) AS est_ppm,
+             (coalesce(iv.inter, 0) * 1000000)
+               // (za.sz + zb.sz - coalesce(iv.inter, 0)) AS jac_ppm
+           FROM pairs p
+           JOIN sigs sa ON sa.doc_id = p.a_id
+           JOIN sigs sb ON sb.doc_id = p.b_id
+           JOIN sz za ON za.doc_id = p.a_id
+           JOIN sz zb ON zb.doc_id = p.b_id
+           LEFT JOIN iv ON iv.a_id = p.a_id AND iv.b_id = p.b_id)""",
+
     "q37_lsh_pairs" ->
       """WITH sigs AS (
            SELECT doc_id,

@@ -130,6 +130,55 @@ class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q140 sketch estimate is slot-exact; exact Jaccard matches sets") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sets: Map[Long, Set[String]] = docs.flatMap { case (id, text) =>
+      val t = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (t.length >= 3) Some(id -> t.sliding(3).map(_.mkString(" ")).toSet)
+      else None
+    }.toMap
+    val sigs: Map[Long, Seq[String]] = sets.map { case (id, sh) =>
+      val hs = sh.toSeq.map(md5hex)
+      id -> Seq(hs.map(_.substring(0, 8)).min, hs.map(_.substring(8, 16)).min,
+        hs.map(_.substring(16, 24)).min, hs.map(_.substring(24, 32)).min)
+    }
+    val rows = TextOps.queries("q140_minhash_accuracy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } * 250000L
+      assert(r.getLong(2) == est, s"est mismatch for ($a,$b)")
+      val inter = (sets(a) & sets(b)).size.toLong
+      val jac = inter * 1000000L / (sets(a).size + sets(b).size - inter)
+      assert(r.getLong(3) == jac, s"jaccard mismatch for ($a,$b)")
+      assert(r.getLong(4) == math.abs(est - jac))
+    }
+  }
+
+  test("q141 rolling features match a Scala scan per user") {
+    val events = graft.Tables.table(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100).toLong))
+    val expected = events.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._1))
+      ordered.zipWithIndex.map { case ((eid, uid, _, cents), i) =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1)
+        eid -> ((uid, cents,
+          if (i == 0) None else Some(ordered(i - 1)._4),
+          frame.length.toLong, frame.map(_._4).sum))
+      }
+    }.toMap
+    val got = run("q141_lag_features").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getLong(5)))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("q135 profiles every column in one row each with sane stats") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val n = orders.count()

@@ -84,4 +84,26 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // handshake: total triangle incidences divide by 3
     assert(got.values.map(_._2).sum % 3 == 0)
   }
+
+  test("q139 keeps the highest-TTR member of every duplicate family") {
+    val sf = "/root/testdata/sf0.001"
+    val comp = compMap(GraphOps.queries("q87_neardup_clusters")(spark, sf))
+    val ttr = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().flatMap { r =>
+        val t = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        if (t.isEmpty) None
+        else Some(r.getLong(0) -> t.distinct.length.toLong * 1000000L / t.length)
+      }.toMap
+    val families = ttr.keys.groupBy(id => comp.getOrElse(id, id))
+    val expected = families.map { case (fam, members) =>
+      val keep = members.minBy(id => (-ttr(id), id))
+      fam -> ((keep, ttr(keep), members.size.toLong))
+    }
+    val got = GraphOps.queries("q139_canonical_pick")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // at least one real (multi-doc) family must exist at sf0.001
+    assert(got.values.exists(_._3 > 1))
+  }
 }
