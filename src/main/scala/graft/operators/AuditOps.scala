@@ -182,6 +182,89 @@ object AuditOps {
           sum(col("cents")).over(wf).as("roll_cents"))
     }),
 
+    // ---- q142: top user journeys ---------------------------------------
+    // The "what do users actually do" report: each user's first five
+    // events as an ordered path string, counted across users. The rank
+    // and the ordered path aggregation both key on user_id (one
+    // shuffle, co-partitioned with the rest of the per-user family);
+    // the path table is at most |event_type|^5 rows.
+    "q142_user_journeys" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      table(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // ---- q143: rolling 7-day active users ------------------------------
+    // DAU + trailing-7-day WAU per day. Exact sliding distinct without
+    // a per-day window sort: each (user, day) activity row fans out to
+    // the ≤7 trailing window-days it supports (map-side sequence+
+    // explode), then one distinct + one count per day. Work is
+    // 7 × |active (user, day)| — linear, partitioned by day, no
+    // quadratic day×day join, no global sort.
+    "q143_rolling_dau" -> ((s, d) => {
+      val ud = table(s, d, "events")
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+        .distinct().persist()
+      ud.count()
+      val mx = ud.agg(max("day").as("mx"))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(explode(expr("sequence(day, day + 6)")).as("day"),
+          col("user_id"))
+        .distinct()
+        .crossJoin(broadcast(mx)).filter(col("day") <= col("mx"))
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+    }),
+
+    // ---- q144: anomalous-day detection, integer-exact ------------------
+    // Days whose event count deviates > 2σ from the mean — in PURE
+    // integer arithmetic: with N days, S = Σx, Q = Σx²,
+    // (x − μ)² > 4σ² ⇔ (N·x − S)² > 4·(N·Q − S²). No float mean/std,
+    // so the flag is bit-identical under any partitioning and engine.
+    // Daily counts are one shuffle; the (N, S, Q) triple is a
+    // broadcast scalar.
+    "q144_anomaly_days" -> ((s, d) => {
+      val daily = table(s, d, "events")
+        .select(expr("ts div 86400000000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_events")).persist()
+      daily.count()
+      val stats = daily.agg(count(lit(1)).as("nd"),
+        sum("n_events").as("s"),
+        sum(expr("n_events * n_events")).as("q"))
+      daily.crossJoin(broadcast(stats))
+        .select(col("day"), col("n_events"),
+          expr("nd * n_events - s").as("dev"),
+          expr("""(nd * n_events - s) * (nd * n_events - s)
+                  > 4 * (nd * q - s * s)""").as("is_anomaly"))
+    }),
+
+    // ---- q145: conversion latency distribution -------------------------
+    // Time from first 'view' to first 'purchase' per user, bucketed by
+    // hour. Conditional min-timestamps collapse each user to one row in
+    // a single user_id-keyed aggregation (the q121 funnel recipe); the
+    // bucket histogram is a second tiny aggregate.
+    "q145_conversion_latency" -> ((s, d) => {
+      table(s, d, "events")
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("v"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+        .filter(col("v").isNotNull && col("p").isNotNull &&
+          col("p") >= col("v"))
+        .withColumn("latency_s", expr("(p - v) div 1000000000"))
+        .withColumn("bucket_h", expr("latency_s div 3600"))
+        .groupBy("bucket_h")
+        .agg(count(lit(1)).as("n_users"),
+          min("latency_s").as("min_s"), max("latency_s").as("max_s"))
+    }),
+
     // ---- q135: column profile, two map-combined passes -----------------
     // Every column's null count, exact distinct count, and (where the
     // string rendering is engine-portable: integers and strings) min /
@@ -314,6 +397,58 @@ object AuditOps {
          SELECT lang, decile, count(*) AS n_docs,
            min(ttr_ppm) AS min_ttr, max(ttr_ppm) AS max_ttr
          FROM b GROUP BY 1, 2""",
+
+    "q142_user_journeys" ->
+      """WITH o AS (
+           SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM o WHERE rn <= 5 GROUP BY user_id)
+         SELECT path, count(*) AS n_users FROM p GROUP BY path""",
+
+    "q143_rolling_dau" ->
+      """WITH ud AS (
+           SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+           FROM events),
+         mx AS (SELECT max(day) AS mx FROM ud),
+         w AS (SELECT DISTINCT day, user_id FROM (
+           SELECT unnest(range(u.day, u.day + 7)) AS day, u.user_id
+           FROM ud u)
+           WHERE day <= (SELECT mx FROM mx)),
+         wau AS (SELECT day, count(*) AS wau FROM w GROUP BY day),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+         SELECT d.day, d.dau, w2.wau
+         FROM dau d JOIN wau w2 ON d.day = w2.day""",
+
+    "q144_anomaly_days" ->
+      """WITH daily AS (
+           SELECT epoch_ns(ts) // 86400000000000 AS day,
+             count(*) AS n_events
+           FROM events GROUP BY 1),
+         st AS (SELECT count(*) AS nd, CAST(sum(n_events) AS BIGINT) AS s,
+                  CAST(sum(n_events * n_events) AS BIGINT) AS q
+                FROM daily)
+         SELECT day, n_events,
+           nd * n_events - s AS dev,
+           (nd * n_events - s) * (nd * n_events - s)
+             > 4 * (nd * q - s * s) AS is_anomaly
+         FROM daily, st""",
+
+    "q145_conversion_latency" ->
+      """WITH u AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS v,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+               AS p
+           FROM events GROUP BY user_id),
+         l AS (SELECT (p - v) // 1000000000 AS latency_s FROM u
+               WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v)
+         SELECT latency_s // 3600 AS bucket_h, count(*) AS n_users,
+                min(latency_s) AS min_s, max(latency_s) AS max_s
+         FROM l GROUP BY 1""",
 
     "q141_lag_features" ->
       """SELECT event_id, user_id, cents,

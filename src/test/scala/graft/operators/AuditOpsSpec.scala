@@ -179,6 +179,73 @@ class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("q142 journeys cover every user with ≤5 hops each") {
+    val events = graft.Tables.table(spark, sf, "events")
+    val nUsers = events.select("user_id").distinct().count()
+    val rows = run("q142_user_journeys").collect()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+    assert(rows.forall(_.getString(0).split(">").length <= 5))
+    // independent recompute of one user's path
+    val u0 = events.select("user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .filter(_._1 == 0L).sortBy(e => (e._2, e._3)).take(5)
+      .map(_._4).mkString(">")
+    assert(rows.exists(_.getString(0) == u0))
+  }
+
+  test("q143 trailing-window actives dominate dailies") {
+    val rows = run("q143_rolling_dau").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, dau, wau) =>
+      assert(wau >= dau, s"day $day: wau $wau < dau $dau")
+    }
+    // day 1 of the corpus has an empty trailing history: wau == dau
+    assert(rows.head._2 == rows.head._3)
+    // wau is bounded by the union of the 7 trailing daus
+    val dauByDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (day, _, wau) =>
+      val bound = (day - 6 to day).flatMap(dauByDay.get).sum
+      assert(wau <= bound)
+    }
+  }
+
+  test("q144 deviations sum to zero and flags match the integer rule") {
+    val rows = run("q144_anomaly_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._3).sum == 0L) // Σ(N·x − S) = 0 by construction
+    val nd = rows.length.toLong
+    val s = rows.map(_._2).sum
+    val q = rows.map(x => x._2 * x._2).sum
+    rows.foreach { case (day, x, dev, flag) =>
+      assert(dev == nd * x - s, s"day $day dev")
+      assert(flag == (dev * dev > 4 * (nd * q - s * s)), s"day $day flag")
+    }
+  }
+
+  test("q145 covers exactly the users whose first purchase follows a view") {
+    val events = graft.Tables.table(spark, sf, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val v = evs.filter(_._2 == "view").map(_._3).minOption
+      val p = evs.filter(_._2 == "purchase").map(_._3).minOption
+      (v, p) match {
+        case (Some(a), Some(b)) if b >= a => Some((b - a) / 1000000000L)
+        case _ => None
+      }
+    }
+    val got = run("q145_conversion_latency").collect()
+    assert(got.map(_.getLong(1)).sum == expected.size)
+    val byBucket = expected.groupBy(_ / 3600L)
+    got.foreach { r =>
+      val b = byBucket(r.getLong(0))
+      assert(r.getLong(1) == b.size && r.getLong(2) == b.min &&
+        r.getLong(3) == b.max)
+    }
+  }
+
   test("q135 profiles every column in one row each with sane stats") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val n = orders.count()
