@@ -118,6 +118,34 @@ object GraphOps {
           col("n_chars_kept"), col("n_chars_dropped"))
     }),
 
+    // ---- q146: missed-duplicate candidates (link prediction) -----------
+    // Common-neighbor link prediction over the LSH candidate graph:
+    // pairs that are NOT LSH candidates but share ≥1 neighbor are
+    // likely duplicates the banding missed (two near-identical docs
+    // can land in disjoint buckets while both colliding with a third).
+    // The wedge join runs on the tiny candidate graph (never the
+    // corpus) and is bounded by Σ deg² over bucket-capped degrees.
+    // Every wedge pair is reported with its common-neighbor support
+    // and whether LSH already pairs it — the `already_paired = false`
+    // rows are the recall gap; feeding them through an exact verify
+    // (q38-style) closes it without lowering the LSH threshold
+    // corpus-wide.
+    "q146_missed_neighbors" -> ((s, d) => {
+      val e = TextOps.lshPairs(s, d).persist() // tiny; reused 2×
+      val adj = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(
+          e.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val cand = adj.select(col("src").as("mid"), col("dst").as("a_id"))
+        .join(adj.select(col("src").as("mid"), col("dst").as("b_id")),
+          "mid")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("common_neighbors"))
+      cand.join(e.withColumn("already_paired", lit(true)),
+          Seq("a_id", "b_id"), "left_outer")
+        .withColumn("already_paired",
+          coalesce(col("already_paired"), lit(false)))
+    }),
+
     // ---- q139: canonical selection by quality --------------------------
     // The realistic dedup keep-policy: within each duplicate family,
     // keep the HIGHEST-QUALITY document (type-token ratio, doc_id
@@ -236,6 +264,22 @@ object GraphOps {
                   AS n_chars_dropped
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          GROUP BY coalesce(c.component, d.doc_id)""",
+
+    "q146_missed_neighbors" ->
+      s"""WITH $pairsCte,
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION ALL SELECT b_id, a_id FROM pairs),
+         cand AS (
+           SELECT x.dst AS a_id, y.dst AS b_id,
+             count(*) AS common_neighbors
+           FROM edges x JOIN edges y ON x.src = y.src AND x.dst < y.dst
+           GROUP BY 1, 2)
+         SELECT c.a_id, c.b_id, c.common_neighbors,
+           EXISTS (SELECT 1 FROM pairs p
+                   WHERE p.a_id = c.a_id AND p.b_id = c.b_id)
+             AS already_paired
+         FROM cand c""",
 
     "q139_canonical_pick" ->
       s"""$reachCte,

@@ -106,4 +106,22 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // at least one real (multi-doc) family must exist at sf0.001
     assert(got.values.exists(_._3 > 1))
   }
+
+  test("q146 wedge pairs match a Scala recomputation") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = TextOps.lshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val expected = adj.values.toSeq.flatMap { nbrs =>
+      nbrs.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) }
+    }.groupBy(identity).map { case (p, ws) =>
+      p -> ((ws.size.toLong, pairs.contains(p)))
+    }
+    val got = GraphOps.queries("q146_missed_neighbors")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
