@@ -83,6 +83,28 @@ object ScaleProbe {
           .groupBy("user_id")
           .agg(sum("new_session").as("n_sessions"))
       }),
+      // q143's shape: sliding exact-distinct via map-side day fan-out.
+      // Work is 7 × |distinct (user, day)|, so the ratio must track k.
+      "rolling_dau_fanout" -> (k => {
+        val ud = scaled("events", k, "user_id")
+          .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+          .distinct()
+        ud.select(explode(expr("sequence(day, day + 6)")).as("day"),
+            col("user_id"))
+          .distinct()
+          .groupBy("day").agg(count(lit(1)).as("wau"))
+      }),
+      // q141's shape: ROWS-bounded frame features on the user timeline.
+      "lag_features_window" -> (k => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        scaled("events", k, "user_id", "event_id")
+          .withColumn("cents", expr("cast(floor(value * 100) as bigint)"))
+          .select(col("user_id"),
+            lag(col("cents"), 1).over(w).as("prev"),
+            sum(col("cents")).over(w.rowsBetween(-4, 0)).as("roll"))
+          .groupBy("user_id").agg(sum("roll").as("chk"))
+      }),
       "cc_hashmin" -> (k => {
         // k disjoint copies of the LSH candidate-pair graph (ids
         // shifted per copy): components scale linearly, structure —
