@@ -272,6 +272,34 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the ranked knn list must be persisted for the reciprocity join")
   }
 
+  test("q141: rolling features ride exactly one user_id shuffle") {
+    val plan = executedPlanString("q141_lag_features")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(shuffles == 1, s"expected 1 exchange, got $shuffles")
+    assert(finalPlan.contains("Window"))
+  }
+
+  test("q142: journey rank is group-limit-pruned before the window") {
+    val plan = executedPlanString("q142_user_journeys")
+    // Spark's WindowGroupLimit pushes the rn <= 5 filter into a
+    // partial top-k BEFORE the full window sort — each task keeps 5
+    // rows per user instead of sorting whole timelines. Losing this
+    // would silently sort 100 TB of events.
+    assert(plan.contains("WindowGroupLimit"))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(shuffles <= 2, s"expected <=2 exchanges, got $shuffles")
+  }
+
+  test("q143: sliding distinct fans out map-side — no day-range join") {
+    val plan = executedPlanString("q143_rolling_dau")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"),
+      "tiny per-day aggregates must broadcast-join")
+    assert(plan.contains("Generate"), "window-day fan-out must be explode")
+  }
+
   test("q131: overlap joins through the persisted shingle sets") {
     val plan = executedPlanString("q131_source_overlap")
     assert(plan.contains("InMemoryTableScan"),
