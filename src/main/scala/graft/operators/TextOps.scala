@@ -890,6 +890,121 @@ object TextOps {
           floor((col("cum") - 1).cast("double") / seqLen)
             .cast("long").as("end_seq"))
         .withColumn("n_seqs", col("end_seq") - col("start_seq") + 1)
+    }),
+
+    // ---- boilerplate detection: per-source high-DF shingles ------------
+    // The CCNet/RefinedWeb boilerplate pass: a bigram shingle that
+    // recurs across >= 20% of one source's documents is template
+    // chrome (nav bars, footers, cookie banners), not content; each
+    // doc is scored by the fraction of its shingle OCCURRENCES that
+    // are boilerplate. Shuffles: one distinct + count keyed by
+    // (source, shingle), one marker join back on the same key — both
+    // land on the same partitioning, and the per-source boilerplate
+    // set is df-bounded (a shingle needs >= 0.2·|source| docs, so at
+    // most 5 boilerplate shingles per document-slot) so the marker
+    // side stays broadcastable at any corpus size. All-integer ppm
+    // ratio; ns >= 10 guards the tiny-source degenerate case.
+    "q148_boilerplate" -> ((s, d) => {
+      val occ = table(s, d, "documents")
+        .withColumn("tokens", words(col("text")))
+        .filter(size(col("tokens")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(0, size(tokens) - 2),
+             i -> concat_ws(' ', slice(tokens, i + 1, 2)))""")).as("sg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      occ.count() // materialize once: feeds ns, sdf, and the marker join
+      val ns = occ.groupBy("source")
+        .agg(countDistinct("doc_id").as("ns"))
+      val boiler = occ.select("source", "sg", "doc_id").distinct()
+        .groupBy("source", "sg").agg(count(lit(1)).as("df"))
+        .join(broadcast(ns), "source")
+        .filter(col("df") * 100 >= col("ns") * 20 && col("ns") >= 10)
+        .select(col("source"), col("sg"), lit(1L).as("is_b"))
+      occ.join(broadcast(boiler), Seq("source", "sg"), "left_outer")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+        .withColumn("ratio_ppm",
+          expr("(n_boiler * 1000000L) div n_sh"))
+    }),
+
+    // ---- target-mixture reweighting: per-lang sampling rates -----------
+    // The DoReMi/Pile-style mixture step: given target language
+    // weights (ppm), each language's Bernoulli keep-rate is
+    // rate = min(1, weight · total_tokens / lang_tokens) — an
+    // over-represented language is down-sampled toward its target
+    // share, an under-represented one is kept whole (rate caps at 1;
+    // re-weighting up happens at the training sampler, not by
+    // duplicating data). Membership is decided by a multiplicative
+    // hash of doc_id, so the sample is stable under corpus growth
+    // (the q71 split property) and reproducible on any engine — no
+    // rand() anywhere. Aggregates are two tiny shuffles on lang; the
+    // per-doc keep decision is map-side codegen.
+    "q149_mixture_reweight" -> ((s, d) => {
+      val w = 200000L // uniform 5-lang target, ppm
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val perLang = docs.groupBy("lang")
+        .agg(sum("n_tokens").as("lang_tokens"))
+      val total = perLang.agg(sum("lang_tokens").as("total_tokens"))
+      val rates = perLang.crossJoin(broadcast(total))
+        .withColumn("rate_ppm",
+          least(lit(1000000L),
+            expr(s"($w * total_tokens) div lang_tokens")))
+        .select("lang", "lang_tokens", "rate_ppm")
+      docs
+        .join(broadcast(rates), "lang")
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+          < col("rate_ppm"))
+        .groupBy("lang", "lang_tokens", "rate_ppm")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_tokens").as("kept_tokens"))
+    }),
+
+    // ---- DSIR importance weights: hashed-unigram log-ratio -------------
+    // Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): score every raw document by how much more
+    // likely its unigrams are under a target (high-quality) LM than
+    // under the raw-corpus LM — weight = Σ log p_target(w) − log
+    // p_raw(w), add-one smoothed. The target here is the src0-src3
+    // slice; integer micro-nats (the q99 floor(ln·1e6) trick) keep
+    // the cross-engine sum bit-exact. At web scale the vocab is
+    // hashed to ~10k buckets before counting (the paper's hashed
+    // n-gram trick) — the synthetic vocab is already tiny, so the
+    // bucket step would only obscure the oracle; both count shuffles
+    // key on the token and the per-doc reduce keys on doc_id, each
+    // with map-side combine, and the smoothed vocab rides to the
+    // scorers as one broadcast.
+    "q150_dsir_weights" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(words(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toks.count()
+      val tgt = toks.filter(col("source").isin("src0", "src1", "src2", "src3"))
+      val vocabAll = toks.groupBy("tok").agg(count(lit(1)).as("cnt_r"))
+      val vocabTgt = tgt.groupBy("tok").agg(count(lit(1)).as("cnt_t"))
+      // smoothed vocab: every raw token gets cnt_t >= 0 via left join
+      val vocab = vocabAll.join(vocabTgt, Seq("tok"), "left_outer")
+        .withColumn("cnt_t", coalesce(col("cnt_t"), lit(0L)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = vocab.agg(sum("cnt_r").as("tot_r"), sum("cnt_t").as("tot_t"),
+        count(lit(1)).as("v"))
+      val scored = vocab.crossJoin(broadcast(sizes))
+        .withColumn("micro",
+          floor(log((col("cnt_t") + 1).cast("double")
+              / (col("tot_t") + col("v")).cast("double")) * 1e6)
+            .cast("long")
+          - floor(log((col("cnt_r") + 1).cast("double")
+              / (col("tot_r") + col("v")).cast("double")) * 1e6)
+            .cast("long"))
+        .select("tok", "micro")
+      toks.join(broadcast(scored), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum("micro").as("weight_micro"))
     })
   )
 
@@ -990,6 +1105,72 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q148_boilerplate" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+           FROM documents),
+         occ AS (
+           SELECT doc_id, source,
+             unnest(list_transform(range(0, len(t) - 1),
+               i -> t[i+1] || ' ' || t[i+2])) AS sg
+           FROM toks WHERE len(t) >= 2),
+         ns AS (SELECT source, count(DISTINCT doc_id) AS ns
+                FROM occ GROUP BY source),
+         sdf AS (SELECT source, sg, count(DISTINCT doc_id) AS df
+                 FROM occ GROUP BY source, sg),
+         boiler AS (SELECT s.source, s.sg FROM sdf s JOIN ns USING (source)
+                    WHERE s.df * 100 >= ns.ns * 20 AND ns.ns >= 10)
+         SELECT o.doc_id, o.source, CAST(count(*) AS BIGINT) AS n_sh,
+           CAST(count(b.sg) AS BIGINT) AS n_boiler,
+           CAST((count(b.sg) * 1000000) // count(*) AS BIGINT) AS ratio_ppm
+         FROM occ o LEFT JOIN boiler b
+           ON b.source = o.source AND b.sg = o.sg
+         GROUP BY o.doc_id, o.source""",
+    "q149_mixture_reweight" ->
+      """WITH docs AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+               w -> w <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         pl AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+                FROM docs GROUP BY lang),
+         tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens
+                 FROM pl),
+         rates AS (SELECT lang, lang_tokens,
+             least(1000000, (200000 * total_tokens) // lang_tokens)
+               AS rate_ppm
+           FROM pl CROSS JOIN tot)
+         SELECT r.lang, r.lang_tokens, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.n_tokens) AS BIGINT) AS kept_tokens
+         FROM docs d JOIN rates r USING (lang)
+         WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm
+         GROUP BY r.lang, r.lang_tokens, r.rate_ppm""",
+    "q150_dsir_weights" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             unnest(list_filter(string_split(lower(text), ' '),
+               w -> w <> '')) AS tok
+           FROM documents),
+         va AS (SELECT tok, count(*) AS cnt_r FROM toks GROUP BY tok),
+         vt AS (SELECT tok, count(*) AS cnt_t FROM toks
+                WHERE source IN ('src0', 'src1', 'src2', 'src3')
+                GROUP BY tok),
+         vocab AS (SELECT va.tok, va.cnt_r, coalesce(vt.cnt_t, 0) AS cnt_t
+                   FROM va LEFT JOIN vt USING (tok)),
+         sizes AS (SELECT sum(cnt_r) AS tot_r, sum(cnt_t) AS tot_t,
+                          count(*) AS v FROM vocab),
+         scored AS (SELECT tok,
+             CAST(floor(ln(CAST(cnt_t + 1 AS DOUBLE) / (tot_t + v)) * 1e6)
+               AS BIGINT)
+           - CAST(floor(ln(CAST(cnt_r + 1 AS DOUBLE) / (tot_r + v)) * 1e6)
+               AS BIGINT) AS micro
+           FROM vocab CROSS JOIN sizes)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(s.micro) AS BIGINT) AS weight_micro
+         FROM toks t JOIN scored s USING (tok)
+         GROUP BY t.doc_id""",
     "q93_token_shards" ->
       """SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens FROM (
            SELECT doc_id, n_tokens,

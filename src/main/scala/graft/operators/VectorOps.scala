@@ -103,6 +103,40 @@ object VectorOps {
         .filter(col("cosine") > 0.3)
     }),
 
+    // ---- SemDeDup: semantic dedup over learned k-means cells -----------
+    // The cluster-then-prune semantic dedup pass (Abbas et al. 2023,
+    // arXiv:2303.09540): k-means the embedding space, then compare
+    // ONLY within a cell and drop every vector that has a
+    // lower-id near-duplicate there (keep-lowest-id is the
+    // deterministic stand-in for the paper's keep-one rule). Reuses
+    // the q85 2-Lloyd-round index, so Spark's cache manager shares
+    // one k-means run across q85/q86/q147 in the same session. The
+    // pair stage is bounded by cell size — at corpus scale k grows
+    // ∝ n so cells stay constant-size (the paper runs 50k clusters
+    // on 5B embeddings) and the per-cell all-pairs never sees the
+    // corpus quadratically; the τ here is tuned to the synthetic
+    // near-uniform embeddings (real deployments use ~0.95+ on the
+    // centroid-normalized similarity).
+    "q147_semdedup" -> ((s0, d) => {
+      val s = withFns(s0)
+      val (a2, _) = kmeansIndex(s, d)
+      val e = a2.select(col("cid"), col("vec_id"), col("v"),
+        sqrt(dotD("v", "v")).as("nrm"))
+      val a = e.select(col("cid"), col("vec_id").as("a_id"),
+        col("v").as("av"), col("nrm").as("a_nrm"))
+      val b = e.select(col("cid"), col("vec_id").as("b_id"),
+        col("v").as("bv"), col("nrm").as("b_nrm"))
+      a.join(b, "cid").filter(col("a_id") > col("b_id"))
+        .select(col("cid"), col("a_id"), col("b_id"),
+          round(dotD("av", "bv") / (col("a_nrm") * col("b_nrm")), 6)
+            .as("cos_r"))
+        .filter(col("cos_r") >= 0.3)
+        .groupBy("cid", "a_id")
+        .agg(min("b_id").as("keeper_id"), max("cos_r").as("cos_max"))
+        .select(col("a_id").as("vec_id"), col("cid"),
+          col("keeper_id"), col("cos_max"))
+    }),
+
     // ---- mutual-kNN pairs: the symmetric near-dup graph ----------------
     // A pair survives only if each vector ranks the other in its top-3
     // by cosine — reciprocity is the classic filter that strips hub
@@ -616,6 +650,20 @@ object VectorOps {
          FROM e JOIN a2 USING (vec_id) JOIN probe ON a2.cid = probe.cid
          WHERE e.vec_id <> 0
          ORDER BY cosine DESC, e.vec_id ASC LIMIT 10"""),
+    "q147_semdedup" -> (kmeansCtes +
+      """,
+         prs AS (
+           SELECT a.cid, a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_r
+           FROM a2 a JOIN a2 b
+             ON a.cid = b.cid AND a.vec_id > b.vec_id
+           JOIN e ea ON ea.vec_id = a.vec_id
+           JOIN e eb ON eb.vec_id = b.vec_id)
+         SELECT a_id AS vec_id, cid,
+           CAST(min(b_id) AS BIGINT) AS keeper_id,
+           max(cos_r) AS cos_max
+         FROM prs WHERE cos_r >= 0.3
+         GROUP BY a_id, cid"""),
     "q83_ivf_search" ->
       """WITH cent AS (
            SELECT label, list(c ORDER BY i) AS cvec FROM (

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the wave-4 curation operators: SemDeDup cluster-prune
+  * (q147), boilerplate detection (q148), target-mixture reweighting
+  * (q149) and DSIR importance weights (q150). The DuckDB oracle checks
+  * exact values; these pin the semantic invariants that keep the
+  * operators correct at any scale.
+  */
+class Wave4Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("wave4-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("q147 SemDeDup: keeper precedes every dropped vector, drops are unique") {
+    val rows = VectorOps.queries("q147_semdedup")(spark, sf)
+      .select("vec_id", "keeper_id", "cos_max").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), "keeper must have the lower id")
+      assert(r.getDouble(2) >= 0.3, "pruned pair must clear the threshold")
+    }
+    // one verdict per dropped vector — the keep-set is well-defined
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("q148 boilerplate: ratio bounded, boiler occurrences never exceed total") {
+    val rows = TextOps.queries("q148_boilerplate")(spark, sf)
+      .select("n_sh", "n_boiler", "ratio_ppm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+    }
+  }
+
+  test("q149 mixture reweighting: rates capped at 1, over-represented lang downsampled") {
+    val rows = TextOps.queries("q149_mixture_reweight")(spark, sf).collect()
+    val byLang = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(byLang.values.forall(_._2 <= 1000000L))
+    // en holds >20% of tokens against a 20% target => rate strictly < 1
+    // and the kept token count respects the rate direction
+    val (enTok, enRate, enKept) = byLang("en")
+    assert(enRate < 1000000L)
+    assert(enKept <= enTok)
+    // under-represented langs keep everything (rate caps at 1e6)
+    assert(byLang.exists { case (l, (_, r, _)) => l != "en" && r == 1000000L })
+  }
+
+  test("q150 DSIR: target-slice documents outscore the rest on average") {
+    val w = TextOps.queries("q150_dsir_weights")(spark, sf)
+    val docs = graft.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"))
+    val avg2 = w.join(docs, "doc_id")
+      .withColumn("is_tgt",
+        col("source").isin("src0", "src1", "src2", "src3"))
+      .groupBy("is_tgt")
+      .agg(avg(col("weight_micro").cast("double") / col("n_toks"))
+        .as("avg_w"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(avg2(true) > avg2(false),
+      s"target avg ${avg2(true)} must exceed raw avg ${avg2(false)}")
+  }
+}
