@@ -964,6 +964,52 @@ object TextOps {
           sum("n_tokens").as("kept_tokens"))
     }),
 
+    // ---- incremental aggregate maintenance -----------------------------
+    // The 100 TB posture for a refreshing corpus: never recompute the
+    // corpus-wide aggregate from scratch — aggregate the (small) delta
+    // partition and merge it into the standing base aggregate with a
+    // full-outer coalesce-sum. The ORACLE for this query is the plain
+    // one-shot aggregate over everything, so the driver's hash-compare
+    // is itself the proof that merge(base, delta) == full recompute —
+    // the algebraic property incremental maintenance rests on
+    // (aggregates here are sum/count, both commutative monoids).
+    "q151_incremental_agg" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+      def agg(part: DataFrame): DataFrame = part.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      val base = agg(docs.filter(pmod(col("doc_id"), lit(10)) < 8))
+      val delta = agg(docs.filter(pmod(col("doc_id"), lit(10)) >= 8))
+      base.select(col("source"), col("n_docs").as("bn"), col("tokens").as("bt"))
+        .join(delta.select(col("source"), col("n_docs").as("dn"),
+          col("tokens").as("dt")), Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("bt"), lit(0L)) + coalesce(col("dt"), lit(0L)))
+            .as("tokens"))
+    }),
+
+    // ---- OOV rate against a fixed top-K vocabulary ---------------------
+    // Tokenizer-coverage audit: how much of each document falls outside
+    // the top-20 corpus vocabulary (count desc, token asc tie-break —
+    // fully deterministic). The vocab is a broadcast left-semi-style
+    // marker join; per-doc reduce has map-side combine. At real scale
+    // the vocab is 10k-100k entries — still broadcast-sized, same plan.
+    "q153_oov_rate" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(20)
+        .select(col("tok"), lit(1L).as("in_v"))
+      toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm", expr("(n_oov * 1000000L) div n_toks"))
+    }),
+
     // ---- DSIR importance weights: hashed-unigram log-ratio -------------
     // Data Selection via Importance Resampling (Xie et al. 2023,
     // arXiv:2302.03169): score every raw document by how much more
@@ -1147,6 +1193,26 @@ object TextOps {
          FROM docs d JOIN rates r USING (lang)
          WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm
          GROUP BY r.lang, r.lang_tokens, r.rate_ppm""",
+    "q151_incremental_agg" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split(lower(text), ' '),
+             w -> w <> ''))) AS BIGINT) AS tokens
+         FROM documents GROUP BY source""",
+    "q153_oov_rate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+               w -> w <> '')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok FROM (
+             SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+           ORDER BY cnt DESC, tok ASC LIMIT 20)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(count(*) FILTER (v.tok IS NULL) AS BIGINT) AS n_oov,
+           CAST((count(*) FILTER (v.tok IS NULL) * 1000000) // count(*)
+             AS BIGINT) AS oov_ppm
+         FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+         GROUP BY t.doc_id""",
     "q150_dsir_weights" ->
       """WITH toks AS (
            SELECT doc_id, source,

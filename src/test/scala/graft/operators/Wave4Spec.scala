@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Contracts for the wave-4 curation operators: SemDeDup cluster-prune
-  * (q147), boilerplate detection (q148), target-mixture reweighting
-  * (q149) and DSIR importance weights (q150). The DuckDB oracle checks
+/** Contracts for the wave-4/5 curation + maintenance operators:
+  * SemDeDup cluster-prune (q147), boilerplate detection (q148),
+  * target-mixture reweighting (q149), DSIR importance weights (q150),
+  * incremental aggregate maintenance (q151), SCD2 snapshot history
+  * (q152) and OOV-rate vocab coverage (q153). The DuckDB oracle checks
   * exact values; these pin the semantic invariants that keep the
   * operators correct at any scale.
   */
@@ -58,6 +60,53 @@ class Wave4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enKept <= enTok)
     // under-represented langs keep everything (rate caps at 1e6)
     assert(byLang.exists { case (l, (_, r, _)) => l != "en" && r == 1000000L })
+  }
+
+  test("q151 incremental merge equals one-shot aggregate") {
+    val merged = TextOps.queries("q151_incremental_agg")(spark, sf)
+    val full = graft.Tables.table(spark, sf, "documents")
+      .select(col("source"),
+        size(filter(split(lower(col("text")), " "), w => w =!= ""))
+          .cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("q152 SCD2: one open row per live doc, changed docs close v1 and open v2") {
+    val h = AnalyticsOps.queries("q152_scd2_history")(spark, sf)
+      .persist()
+    // every doc has exactly one current row unless it was deleted
+    val perDoc = h.groupBy("doc_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_cur"),
+        count(lit(1)).as("n_rows"))
+    assert(perDoc.filter(col("n_cur") > 1).count() == 0)
+    assert(perDoc.filter(col("n_rows") > 2).count() == 0)
+    // a closed row is never current; an open row has no valid_to
+    assert(h.filter(col("valid_to").isNotNull && col("is_current"))
+      .count() == 0)
+    assert(h.filter(col("valid_to").isNull && !col("is_current"))
+      .count() == 0)
+    // changed docs: v1 closed at 2, v2 current from 2
+    val changed = h.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") === 2)
+    val v2 = h.join(changed, "doc_id").filter(col("valid_from") === 2)
+    assert(v2.count() == changed.count())
+    assert(v2.filter(!col("is_current")).count() == 0)
+    h.unpersist()
+  }
+
+  test("q153 OOV rate is bounded and exact at the boundaries") {
+    val rows = TextOps.queries("q153_oov_rate")(spark, sf)
+      .select("n_toks", "n_oov", "oov_ppm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      val ppm = r.getLong(2)
+      assert(ppm >= 0L && ppm <= 1000000L)
+      if (r.getLong(1) == 0L) assert(ppm == 0L)
+      if (r.getLong(1) == r.getLong(0)) assert(ppm == 1000000L)
+    }
   }
 
   test("q150 DSIR: target-slice documents outscore the rest on average") {
