@@ -318,6 +318,47 @@ object AuditOps {
             .as("min_s"),
           pick(c => s"max_$c", strSafe, lit(null).cast("string"))
             .as("max_s"))
+    }),
+
+    // ---- q154: event-time out-of-order audit ---------------------------
+    // The batch-side justification for every streaming watermark
+    // choice: per user, how many events arrive with an event-time
+    // EARLIER than something already seen (arrival order = event_id),
+    // and how late the worst one is. An event is late iff ts < the
+    // running max of all prior ts; lateness is measured against that
+    // running max. One user_id shuffle; the window frame is
+    // ROWS-bounded per user (running max carries O(1) state). Reading
+    // this table's p99 max_late straight off sets the watermark delay
+    // the streaming jobs (q52/q66/q67) should configure.
+    "q154_out_of_order" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_max", max("ts").over(w))
+        .withColumn("late",
+          col("prev_max").isNotNull && col("ts") < col("prev_max"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+          coalesce(max(when(col("late"), col("prev_max") - col("ts"))),
+            lit(0L)).as("max_late_ns"))
+    }),
+
+    // ---- q155: k-anonymity audit over quasi-identifiers ----------------
+    // Governance gate before releasing user-derived training data:
+    // every (nation, market-segment) quasi-identifier combination must
+    // cover at least k individuals, else the group is re-identifiable
+    // and must be suppressed or generalized. One shuffle on the
+    // quasi-identifier tuple with map-side combine; output is
+    // |combinations| rows — constant-bounded however large the
+    // customer table grows, so the audit is O(n) map work at any
+    // scale. k=50 mirrors the usual release-review threshold.
+    "q155_k_anonymity" -> ((s, d) => {
+      table(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("anonymous", col("n") >= 50L)
     }))
 
   private val shingleSetsCte =
@@ -334,6 +375,24 @@ object AuditOps {
            WHERE len(tokens) >= 3))"""
 
   val oracle: Map[String, String] = Map(
+    "q154_out_of_order" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+             max(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+           FROM events)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (prev_max IS NOT NULL AND tsn < prev_max)
+             AS BIGINT) AS n_late,
+           CAST(coalesce(max(prev_max - tsn)
+             FILTER (prev_max IS NOT NULL AND tsn < prev_max), 0)
+             AS BIGINT) AS max_late_ns
+         FROM e GROUP BY user_id""",
+    "q155_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n, count(*) >= 50 AS anonymous
+         FROM customer GROUP BY 1, 2""",
     "q130_sample_per_source" ->
       """SELECT source, doc_id, rn FROM (
            SELECT source, doc_id,

@@ -109,6 +109,35 @@ class Wave4Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q154 out-of-order audit matches a per-user replay") {
+    val got = AuditOps.queries("q154_out_of_order")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val byUser = graft.Tables.table(spark, sf, "events")
+      .select("user_id", "event_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    byUser.foreach { case (u, evs) =>
+      var mx = Long.MinValue; var late = 0L; var worst = 0L
+      evs.sortBy(_._2).foreach { case (_, _, t) =>
+        if (mx != Long.MinValue && t < mx) {
+          late += 1; worst = math.max(worst, mx - t)
+        }
+        mx = math.max(mx, t)
+      }
+      assert(got(u) == ((evs.length.toLong, late, worst)),
+        s"user $u: got ${got(u)}, replay ${(evs.length, late, worst)}")
+    }
+  }
+
+  test("q155 k-anonymity partitions the customer table exactly") {
+    val rows = AuditOps.queries("q155_k_anonymity")(spark, sf).collect()
+    val total = graft.Tables.table(spark, sf, "customer").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach(r => assert(r.getBoolean(3) == (r.getLong(2) >= 50L)))
+  }
+
   test("q150 DSIR: target-slice documents outscore the rest on average") {
     val w = TextOps.queries("q150_dsir_weights")(spark, sf)
     val docs = graft.Tables.table(spark, sf, "documents")
