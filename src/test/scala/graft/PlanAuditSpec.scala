@@ -306,4 +306,46 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the (source, shingle) set must be computed once, not per consumer")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q119: iteration joins broadcast the rank side, edges stay cached") {
+    val plan = executedPlanString("q119_pagerank")
+    assert(plan.contains("BroadcastHashJoin"),
+      "rank ⋈ edges must broadcast the tiny rank side")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge iteration join would shuffle 2|E| rows per round")
+    assert(plan.contains("InMemoryTableScan"),
+      "the symmetrized edge list must come from cache")
+  }
+
+  test("q148: boilerplate marker set arrives as a broadcast") {
+    val plan = executedPlanString("q148_boilerplate")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the df-bounded boiler set must broadcast, not shuffle the corpus")
+    assert(plan.contains("InMemoryTableScan"),
+      "the shingle occurrences must be computed once for all 3 consumers")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q149: keep decision is map-side — no per-doc shuffle beyond the aggs") {
+    val plan = executedPlanString("q149_mixture_reweight")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 5-row rate table must broadcast onto the doc scan")
+    assert(plan.contains("pmod"), "membership must be the hash predicate")
+  }
+
+  test("q152: SCD2 derives both branches from one persisted full-outer join") {
+    val plan = executedPlanString("q152_scd2_history")
+    assert(plan.contains("InMemoryTableScan"),
+      "the joined frame must be persisted once for the two union branches")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"))
+  }
+
+  test("q154: lateness window rides one user_id shuffle") {
+    val plan = executedPlanString("q154_out_of_order")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(shuffles <= 2, s"expected <=2 exchanges, got $shuffles")
+    assert(finalPlan.contains("Window"))
+  }
 }
