@@ -126,17 +126,28 @@ object Curate {
           .cast("long"))
       .select("shard", "doc_id", "text", "lang", "source", "n_chars",
         "n_tokens")
-    sharded.write.mode("overwrite").partitionBy("shard")
+    // The kept-token metric rides the WRITE action itself via the
+    // observe API — at 100 TB a separate read-back aggregation is a
+    // full extra scan of the produced dataset; an observed metric is
+    // collected by the very tasks that write it, for free. (coalesce
+    // handles the all-rows-filtered run: sum over zero rows is null,
+    // the report must say 0, not NPE.)
+    val obs = org.apache.spark.sql.Observation("curate_write")
+    sharded.observe(obs,
+        count(lit(1)).as("n_rows"),
+        coalesce(sum("n_tokens"), lit(0L)).as("tokens_kept"))
+      .write.mode("overwrite").partitionBy("shard")
       .option("compression", "zstd").parquet(outDir)
+    val tokensKept = obs.get("tokens_kept").asInstanceOf[Long]
 
-    // explicit schema: an all-rows-filtered run leaves a data-less
-    // directory where inference would fail, not return empty
+    // Shard COUNT still comes from a read-back (shard ids may be
+    // sparse when one doc spans a whole budget, so max+1 is not the
+    // count, and observe cannot carry a distinct) — but it reads only
+    // the partition column, which parquet serves from directory
+    // names, not data pages. Explicit schema: an all-rows-filtered
+    // run leaves a data-less directory where inference would fail.
     val out = docs.sparkSession.read.schema(sharded.schema).parquet(outDir)
     val nShards = out.select("shard").distinct().count()
-    // sum over zero rows is null — an empty curated output (aggressive
-    // minTokens / full decontamination) must report zeros, not NPE
-    val tokensKept =
-      out.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
     quality.unpersist(); exact.unpersist(); nearKeep.unpersist()
     Report(nInput, nQuality, nExact, nNear, nClean, nShards, tokensKept)
   }
