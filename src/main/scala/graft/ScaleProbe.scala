@@ -342,6 +342,89 @@ object ScaleProbe {
           .select(round(expr("array_dot(a_vec, b_vec)")
             / (col("a_nrm") * col("b_nrm")), 6).as("cosine"))
           .filter(col("cosine") > 0.5)
+      }),
+      "boilerplate_markers" -> (k => {
+        // q148 shape: per-(source, shingle) distinct-doc counts + the
+        // broadcast marker join back. Sources shift with the copies,
+        // so per-source doc counts stay constant — both shuffles and
+        // the marker set scale linearly with the corpus.
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        val occ = scaled("documents", k, "doc_id")
+          .withColumn("source",
+            concat(col("source"), (col("doc_id") / Offset).cast("long")))
+          .withColumn("tokens", toks)
+          .filter(size(col("tokens")) >= 2)
+          .select(col("doc_id"), col("source"), explode(expr(
+            """transform(sequence(0, size(tokens) - 2),
+               i -> concat_ws(' ', slice(tokens, i + 1, 2)))""")).as("sg"))
+        val ns = occ.groupBy("source")
+          .agg(countDistinct("doc_id").as("ns"))
+        val boiler = occ.select("source", "sg", "doc_id").distinct()
+          .groupBy("source", "sg").agg(count(lit(1)).as("df"))
+          .join(broadcast(ns), "source")
+          .filter(col("df") * 100 >= col("ns") * 20 && col("ns") >= 10)
+          .select(col("source"), col("sg"), lit(1L).as("is_b"))
+        occ.join(broadcast(boiler), Seq("source", "sg"), "left_outer")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+      }),
+      "semdedup_cell_pairs" -> (k => {
+        // q147's pair stage with cells scaling the production way:
+        // labels shift with the copies (k ∝ n), so cell size is
+        // constant and pair work is linear. A superlinear ratio here
+        // is exactly the fixed-k mistake the operator's comment warns
+        // about.
+        graft.functions.GraftFunctions.register(spark)
+        val e = scaled("embeddings", k, "vec_id", "label")
+          .select(col("label").as("cid"), col("vec_id"), col("embedding"),
+            sqrt(expr("array_dot(embedding, embedding)")).as("nrm"))
+        val a = e.select(col("cid"), col("vec_id").as("a_id"),
+          col("embedding").as("av"), col("nrm").as("a_nrm"))
+        val b = e.select(col("cid"), col("vec_id").as("b_id"),
+          col("embedding").as("bv"), col("nrm").as("b_nrm"))
+        a.join(b, "cid").filter(col("a_id") > col("b_id"))
+          .select(col("cid"), col("a_id"),
+            round(expr("array_dot(av, bv)")
+              / (col("a_nrm") * col("b_nrm")), 6).as("cos_r"))
+          .filter(col("cos_r") >= 0.3)
+          .groupBy("cid", "a_id").agg(count(lit(1)).as("n"))
+      }),
+      "scd2_fullouter" -> (k => {
+        // q152 shape: one full-outer join on the natural key + the
+        // two union branches over the persisted frame.
+        val docs = scaled("documents", k, "doc_id")
+        val old = docs.filter(pmod(col("doc_id"), lit(10)) < 9)
+          .select(col("doc_id"), md5(col("text")).as("oh"))
+        val neu = docs.filter(pmod(col("doc_id"), lit(11)) =!= 5)
+          .select(col("doc_id"), md5(concat(col("text"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit(" rev2"))
+              .otherwise(lit("")))).as("nh"))
+        val j = old.join(neu, Seq("doc_id"), "full_outer")
+          .withColumn("changed",
+            col("oh").isNotNull && col("nh").isNotNull &&
+              col("oh") =!= col("nh"))
+        j.filter(col("oh").isNotNull).select(col("doc_id"))
+          .unionAll(j.filter(col("nh").isNotNull &&
+            (col("oh").isNull || col("changed"))).select(col("doc_id")))
+      }),
+      "dsir_scoring" -> (k => {
+        // q150 shape: vocab count + broadcast-scored per-doc reduce.
+        // The vocab is content-bounded (does not grow with copies), so
+        // the broadcast is constant and the two shuffles linear.
+        val toks = scaled("documents", k, "doc_id")
+          .select(col("doc_id"), col("source"),
+            explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+              .as("tok"))
+        val va = toks.groupBy("tok").agg(count(lit(1)).as("cnt_r"))
+        val vt = toks.filter(col("source").isin("src0", "src1"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt_t"))
+        val vocab = va.join(vt, Seq("tok"), "left_outer")
+          .withColumn("cnt_t", coalesce(col("cnt_t"), lit(0L)))
+        toks.join(broadcast(vocab), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(col("cnt_t") - col("cnt_r")).as("w"))
       }))
 
     def time(df: DataFrame): Double = {
