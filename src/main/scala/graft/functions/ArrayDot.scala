@@ -113,9 +113,12 @@ object GraftFunctions {
   private def builder(es: Seq[Expression]): Expression =
     ArrayDot(es.head, es(1))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", es => NfcNormalize(es.head), "built-in")
+  }
 
   private[functions] val info = new ExpressionInfo(
     classOf[ArrayDot].getName, "array_dot")
@@ -128,6 +131,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.injection)
+    ext.injectFunction(NfcNormalize.injection)
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -359,6 +359,33 @@ object AuditOps {
         .groupBy(col("c_nationkey"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
         .withColumn("anonymous", col("n") >= 50L)
+    }),
+
+    // ---- q159: tombstone purge (right-to-erasure propagation) ----------
+    // The GDPR/takedown path: a tombstone list of deleted ids must be
+    // propagated through EVERY derived table — documents and their
+    // embedding rows here — and the purge must be auditable. The
+    // tombstone list is small relative to the corpus (it is the set of
+    // deletion requests), so each propagation is a BROADCAST anti-join:
+    // one map-side pass per table, no shuffle of the 100 TB side, which
+    // is why erasure over a petabyte lake is an O(scan) nightly job and
+    // not a re-partitioning event. Output is the per-table audit row
+    // (before/after/purged) that the compliance log keeps.
+    "q159_tombstone_purge" -> ((s, d) => {
+      val tomb = table(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id").as("del_id"))
+      def audit(df: DataFrame, key: String, name: String): DataFrame = {
+        val after = df.join(broadcast(tomb),
+          col(key) === col("del_id"), "left_anti")
+        df.agg(count(lit(1)).as("n_before"))
+          .crossJoin(after.agg(count(lit(1)).as("n_after")))
+          .select(lit(name).as("table_name"), col("n_before"),
+            col("n_after"), (col("n_before") - col("n_after")).as("n_purged"))
+      }
+      audit(table(s, d, "documents"), "doc_id", "documents")
+        .unionByName(
+          audit(table(s, d, "embeddings"), "vec_id", "embeddings"))
     }))
 
   private val shingleSetsCte =
@@ -393,6 +420,24 @@ object AuditOps {
       """SELECT c_nationkey, c_mktsegment,
            CAST(count(*) AS BIGINT) AS n, count(*) >= 50 AS anonymous
          FROM customer GROUP BY 1, 2""",
+    "q159_tombstone_purge" ->
+      """WITH tomb AS (
+           SELECT doc_id AS del_id FROM documents WHERE doc_id % 13 = 0)
+         SELECT 'documents' AS table_name,
+           (SELECT count(*) FROM documents) AS n_before,
+           (SELECT count(*) FROM documents
+            WHERE doc_id NOT IN (SELECT del_id FROM tomb)) AS n_after,
+           (SELECT count(*) FROM documents)
+             - (SELECT count(*) FROM documents
+                WHERE doc_id NOT IN (SELECT del_id FROM tomb)) AS n_purged
+         UNION ALL
+         SELECT 'embeddings',
+           (SELECT count(*) FROM embeddings),
+           (SELECT count(*) FROM embeddings
+            WHERE vec_id NOT IN (SELECT del_id FROM tomb)),
+           (SELECT count(*) FROM embeddings)
+             - (SELECT count(*) FROM embeddings
+                WHERE vec_id NOT IN (SELECT del_id FROM tomb))""",
     "q130_sample_per_source" ->
       """SELECT source, doc_id, rn FROM (
            SELECT source, doc_id,

@@ -355,6 +355,39 @@ object RelationalOps {
           sum(col("part_n")).as("n"))
     }),
 
+    // ---- skew handling: salted big-big JOIN ----------------------------
+    // Complement of q57: when the JOIN key itself is hot (here a
+    // synthetic 50-value key over two fact tables), a plain hash join
+    // sends every hot key to one reducer. Salting fans each key over S
+    // reducers: the probe side gets a deterministic salt in [0, S), the
+    // build side is replicated S times with every salt value, and the
+    // join runs on (key, salt) — S× the build-side shuffle volume (the
+    // small side, so cheap) buys an S-fold split of the hot partitions.
+    // Result is identical to the unsalted join (the oracle IS the
+    // plain join); only the shuffle distribution changes. At 100 TB
+    // this is the manual fallback when AQE skew-join can't kick in
+    // (e.g. the skew is in the build side of a shuffled hash join).
+    "q156_salted_join" -> ((s, d) => {
+      val S = 8
+      val left = table(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(pmod(col("l_partkey"), lit(50)).as("k"),
+          col("l_quantity"),
+          pmod(col("l_orderkey"), lit(S)).as("salt"))
+      val build = table(s, d, "supplier")
+        .select(pmod(col("s_suppkey"), lit(50)).as("k"), col("s_acctbal"))
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      // shuffle_hash hint: at test scale the replicated build side is
+      // broadcast-sized, which would silently bypass the salted
+      // exchange the operator exists to demonstrate; at 100 TB the
+      // build side exceeds any broadcast threshold and this IS the plan.
+      left.join(build.hint("shuffle_hash"), Seq("k", "salt"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+          sum(col("s_acctbal").cast(Dec)).cast("double").as("sum_bal"))
+    }),
+
     // ---- rollup / cube: hierarchical + full subtotal reporting ---------
     "q58_rollup" -> ((s, d) => {
       table(s, d, "lineitem")
@@ -903,6 +936,15 @@ object RelationalOps {
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
+    "q156_salted_join" ->
+      """SELECT l.k, count(*) AS n_pairs,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM (SELECT l_partkey % 50 AS k, l_quantity
+               FROM lineitem WHERE l_returnflag = 'R') l
+         JOIN (SELECT s_suppkey % 50 AS k, s_acctbal FROM supplier) r
+           ON l.k = r.k
+         GROUP BY l.k""",
     "q58_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1051,6 +1051,117 @@ object TextOps {
       toks.join(broadcast(scored), "tok")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), sum("micro").as("weight_micro"))
+    }),
+
+    // ---- q157: bigram-LM fluency scoring -------------------------------
+    // KenLM-style perplexity filtering, reduced to the distributable
+    // core: train add-k-smoothed bigram counts on the corpus itself,
+    // then score every document by its average bigram log-likelihood
+    // log((c(w1,w2)+0.5) / (c(w1·)+0.5·V)). Gibberish and boilerplate
+    // score far below fluent text — the CCNet/Gopher "perplexity
+    // bucket" signal. One pass builds the counts (the occurrence
+    // stream is persisted: it feeds bigram counts, context counts,
+    // and the scoring join); scoring shuffles on the bigram key —
+    // the bigram table grows with CONTENT, so it is NOT broadcast,
+    // while the unigram context table is vocabulary-bounded and is.
+    // Integer micro-nats (q99's floor(ln·1e6) trick) keep the
+    // per-doc sums bit-exact across engines at any parallelism.
+    "q157_bigram_lm" -> ((s, d) => {
+      val occ = table(s, d, "documents")
+        .withColumn("tokens", words(col("text")))
+        .filter(size(col("tokens")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(tokens) - 2),
+             i -> struct(tokens[i] AS w1,
+                         concat_ws(' ', slice(tokens, i + 1, 2)) AS bg))"""))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.bg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      occ.count() // materialize once: feeds both count tables + scoring
+      val bgCnt = occ.groupBy("bg").agg(count(lit(1)).as("c12"))
+      val w1Cnt = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = w1Cnt.agg(count(lit(1)).as("vv"))
+      occ.join(bgCnt, "bg")
+        .join(broadcast(w1Cnt), "w1")
+        .crossJoin(broadcast(v))
+        .withColumn("micro",
+          floor(log((col("c12") + lit(0.5))
+              / (col("c1") + lit(0.5) * col("vv"))) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bg"), sum("micro").as("ll_micro"))
+        .select(col("doc_id"), col("n_bg"), col("ll_micro"),
+          floor(col("ll_micro").cast("double") / col("n_bg"))
+            .cast("long").as("avg_micro"))
+    }),
+
+    // ---- q158: Unicode NFC canonicalization (native expression) --------
+    // Dedup keys and equality joins over web text break when the same
+    // word arrives composed (é) from one encoder and decomposed
+    // (e + U+0301) from another — canonically equivalent, byte-
+    // different. `nfc_normalize` is the engine's native codegen'd
+    // Catalyst expression (functions/NfcNormalize.scala): one
+    // isNormalized scan on the (overwhelmingly already-NFC) fast
+    // path, zero UDF/serialization cost, stays inside whole-stage
+    // codegen. The query plants decomposed sequences and checks the
+    // composed result + code-point length against DuckDB's
+    // nfc_normalize.
+    "q158_nfc_norm" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      table(s, d, "part")
+        .select(col("p_partkey"),
+          expr("nfc_normalize(concat(p_name, ' cafe\u0301 nin\u0303o'))")
+            .as("name_nfc"))
+        .withColumn("n_cp", length(col("name_nfc")).cast("long"))
+    }),
+
+    // ---- q160: exact similarity self-join via prefix filtering ---------
+    // AllPairs/PPJoin-style EXACT Jaccard join — the deterministic
+    // complement to MinHash-LSH (q37/q84): no false negatives by
+    // construction. Tokens are globally ordered rarest-first; a pair
+    // with J(A,B) >= t must share a token inside each side's first
+    // |S| - ceil(t·|S|) + 1 tokens (prefix-filter lemma), so only
+    // prefix tokens are exploded as candidate keys. Rarest-first
+    // ordering makes candidate buckets the SMALLEST possible ones —
+    // hot stopword postings never become join keys, which is what
+    // keeps the self-join linear-ish at 100 TB. Verification joins
+    // the full sets only for candidates; the threshold test is exact
+    // integer arithmetic (inter·5 >= union·4, t = 4/5). The oracle is
+    // an independent brute-force token-join — candidate pruning
+    // cannot hide a missed pair.
+    "q160_prefix_jaccard_join" -> ((s, d) => {
+      val t5 = 4 // threshold t = t5/5 = 0.8
+      val sets = table(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val freq = sets.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ranked = sets.join(freq, "tok")
+        .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("df").asc, col("tok").asc)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      // prefix length p = n - ceil(t*n) + 1, in exact integers
+      val prefix = ranked
+        .filter(col("rank") <=
+          col("n") - expr(s"(n * $t5 + 4) div 5") + 1)
+        .select(col("tok"), col("doc_id"), col("n"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"), Seq("tok"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("a.n").as("na"),
+          col("b.doc_id").as("b_id"), col("b.n").as("nb"))
+        .distinct()
+      val inter = cand
+        .join(sets.select(col("doc_id").as("a_id"), col("tok")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("tok")),
+          Seq("b_id", "tok"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .filter(col("inter") * 5 >= col("uni") * t5)
+        .select(col("a_id"), col("b_id"),
+          round(col("inter").cast("double") / col("uni"), 6).as("jac"))
     })
   )
 
@@ -1151,6 +1262,57 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q157_bigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+           FROM documents),
+         occ AS (
+           SELECT doc_id, t[i + 1] AS w1,
+             t[i + 1] || ' ' || t[i + 2] AS bg
+           FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+         bgc AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY bg),
+         w1c AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
+         v AS (SELECT count(*) AS vv FROM w1c)
+         SELECT doc_id, count(*) AS n_bg,
+           CAST(sum(micro) AS BIGINT) AS ll_micro,
+           CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_micro
+         FROM (SELECT o.doc_id,
+                 CAST(floor(ln((c12 + 0.5) / (c1 + 0.5 * vv)) * 1e6)
+                   AS BIGINT) AS micro
+               FROM occ o JOIN bgc USING (bg) JOIN w1c USING (w1)
+               CROSS JOIN v)
+         GROUP BY doc_id""",
+
+    "q158_nfc_norm" ->
+      """SELECT p_partkey,
+           nfc_normalize(p_name || ' cafe' || chr(769)
+             || ' nin' || chr(771) || 'o') AS name_nfc,
+           CAST(length(nfc_normalize(p_name || ' cafe' || chr(769)
+             || ' nin' || chr(771) || 'o')) AS BIGINT) AS n_cp
+         FROM part""",
+
+    "q160_prefix_jaccard_join" ->
+      """WITH sets AS (
+           SELECT DISTINCT doc_id, unnest(
+             list_filter(string_split(lower(text), ' '), w -> w <> ''))
+             AS tok
+           FROM documents WHERE doc_id % 7 = 0),
+         sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+         iv AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  count(*) AS inter
+                FROM sets a JOIN sets b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jac
+         FROM iv
+         JOIN sz sa ON sa.doc_id = a_id
+         JOIN sz sb ON sb.doc_id = b_id
+         WHERE inter * 5 >= (sa.n + sb.n - inter) * 4""",
+
     "q148_boilerplate" ->
       """WITH toks AS (
            SELECT doc_id, source,
