@@ -386,6 +386,66 @@ object AuditOps {
       audit(table(s, d, "documents"), "doc_id", "documents")
         .unionByName(
           audit(table(s, d, "embeddings"), "vec_id", "embeddings"))
+    }),
+
+    // ---- q161: time-travel snapshot reconstruction ---------------------
+    // The lakehouse "AS OF version" read path over a commit log:
+    // inserts at v1, updates (docs ≡0 mod 7) at v2, deletes (≡0 mod
+    // 13) at v3. Every log entry fans out MAP-SIDE to the versions it
+    // is visible in (explode(sequence(ver, 3))) — no non-equi join, so
+    // no nested-loop plan — and per (version, doc) the latest entry
+    // wins via max_by. Output is the per-version audit a snapshot
+    // reader would see: live/tombstone counts + lexicographic hash
+    // bounds as a content checksum. At real scale the fan-out factor
+    // is the number of RETAINED versions (bounded by the vacuum
+    // policy), not table size, and both shuffles carry map-side
+    // combine.
+    "q161_time_travel" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val ops =
+        docs.select(col("doc_id"), lit(1).as("ver"), lit("I").as("op"),
+            md5(col("text")).as("h"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+            .select(col("doc_id"), lit(2).as("ver"), lit("U").as("op"),
+              md5(concat(col("text"), lit(" v2"))).as("h")))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+            .select(col("doc_id"), lit(3).as("ver"), lit("D").as("op"),
+              // sentinel, not NULL: max_by/arg_max null-skipping
+              // differs across engines, '' keeps both deterministic
+              lit("").as("h")))
+      ops
+        .withColumn("v", explode(expr("sequence(ver, 3)")))
+        .groupBy("v", "doc_id")
+        .agg(expr("max_by(op, ver)").as("op"),
+          expr("max_by(h, ver)").as("h"))
+        .groupBy(col("v").as("version"))
+        .agg(sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
+          min(when(col("op") =!= "D", col("h"))).as("min_h"),
+          max(when(col("op") =!= "D", col("h"))).as("max_h"))
+    }),
+
+    // ---- q163: zone-map data skipping audit ----------------------------
+    // File-level min/max statistics are THE scan reducer at 100 TB:
+    // a shard whose [min, max] range misses the predicate is never
+    // opened. This audit materializes the zone maps (per-shard min/max
+    // of n_chars), marks which shards a `n_chars >= 900` scan could
+    // skip, and JOINS BACK the true per-shard match counts to prove
+    // the skipping sound (skippable shard ⇒ zero matches — the
+    // invariant a corrupted stats file would break). Two shard-keyed
+    // aggregations over one scan shape; output is |shards| rows.
+    "q163_zone_maps" -> ((s, d) => {
+      val sharded = table(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(20)).as("shard"), col("n_chars"))
+      val zones = sharded.groupBy("shard")
+        .agg(min("n_chars").as("min_c"), max("n_chars").as("max_c"),
+          count(lit(1)).as("n_rows"))
+      val matches = sharded.filter(col("n_chars") >= 900)
+        .groupBy("shard").agg(count(lit(1)).as("n_match"))
+      zones.join(matches, Seq("shard"), "left_outer")
+        .select(col("shard"), col("min_c"), col("max_c"), col("n_rows"),
+          (col("max_c") < 900).as("can_skip"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"))
     }))
 
   private val shingleSetsCte =
@@ -420,6 +480,42 @@ object AuditOps {
       """SELECT c_nationkey, c_mktsegment,
            CAST(count(*) AS BIGINT) AS n, count(*) >= 50 AS anonymous
          FROM customer GROUP BY 1, 2""",
+    "q161_time_travel" ->
+      """WITH ops AS (
+           SELECT doc_id, 1 AS ver, 'I' AS op, md5(text) AS h
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 2, 'U', md5(text || ' v2')
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, 3, 'D', ''
+           FROM documents WHERE doc_id % 13 = 0),
+         fan AS (
+           SELECT doc_id, ver, op, h, unnest(range(ver, 4)) AS v
+           FROM ops),
+         snap AS (
+           SELECT v, doc_id, arg_max(op, ver) AS op, arg_max(h, ver) AS h
+           FROM fan GROUP BY 1, 2)
+         SELECT v AS version,
+           CAST(count(*) FILTER (op <> 'D') AS BIGINT) AS n_live,
+           CAST(count(*) FILTER (op = 'D') AS BIGINT) AS n_deleted,
+           min(h) FILTER (op <> 'D') AS min_h,
+           max(h) FILTER (op <> 'D') AS max_h
+         FROM snap GROUP BY v""",
+    "q163_zone_maps" ->
+      """WITH sh AS (
+           SELECT doc_id % 20 AS shard, n_chars FROM documents),
+         zones AS (
+           SELECT shard, min(n_chars) AS min_c, max(n_chars) AS max_c,
+             count(*) AS n_rows
+           FROM sh GROUP BY shard),
+         m AS (
+           SELECT shard, count(*) AS n_match FROM sh
+           WHERE n_chars >= 900 GROUP BY shard)
+         SELECT z.shard, z.min_c, z.max_c, z.n_rows,
+           z.max_c < 900 AS can_skip,
+           CAST(coalesce(m.n_match, 0) AS BIGINT) AS n_match
+         FROM zones z LEFT JOIN m USING (shard)""",
     "q159_tombstone_purge" ->
       """WITH tomb AS (
            SELECT doc_id AS del_id FROM documents WHERE doc_id % 13 = 0)
