@@ -348,4 +348,49 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles <= 2, s"expected <=2 exchanges, got $shuffles")
     assert(finalPlan.contains("Window"))
   }
+
+  test("q157: bigram counts shuffle, unigram contexts broadcast") {
+    val plan = executedPlanString("q157_bigram_lm")
+    // content-sized bigram table must NOT be broadcast; the
+    // vocab-bounded unigram table and the V scalar must be
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"w1 counts + V must broadcast:\n$plan")
+    assert(plan.contains("hashpartitioning(bg"),
+      "the bigram join must cluster on the bigram key")
+  }
+
+  test("q158: NFC normalization stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q158_nfc_norm")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(1)` marks the whole-stage-codegen pipeline id on every operator
+    assert(plan.contains("*(1) Project"),
+      s"project must be inside whole-stage codegen:\n$plan")
+    // one scan-project pipeline, no shuffle at all
+    assert(!plan.contains("Exchange"), s"map-only op must not shuffle:\n$plan")
+  }
+
+  test("q159: tombstone purge anti-joins are broadcast — corpus never shuffles") {
+    val plan = executedPlanString("q159_tombstone_purge")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(finalPlan).length >= 2,
+      s"both purges must be broadcast anti-joins:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "erasure must not shuffle the corpus side")
+  }
+
+  test("q160: prefix join is equi-only — no nested-loop fallback") {
+    val plan = executedPlanString("q160_prefix_jaccard_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q161: version fan-out is map-side — no non-equi visibility join") {
+    val plan = executedPlanString("q161_time_travel")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"))
+    assert(!finalPlan.contains("CartesianProduct"))
+    assert(finalPlan.contains("Generate explode"),
+      "visibility must come from explode(sequence(ver, N))")
+  }
 }
