@@ -425,6 +425,77 @@ object ScaleProbe {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_toks"),
             sum(col("cnt_t") - col("cnt_r")).as("w"))
+      }),
+      "salted_join" -> (k => {
+        // q156 shape: probe side scaled, build side constant (the
+        // production case — facts grow, dims don't). The salted
+        // exchange fans each hot key over 8 reducers; join output and
+        // both shuffles scale linearly with the probe side.
+        val S = 8
+        val left = scaled("lineitem", k, "l_orderkey")
+          .filter(col("l_returnflag") === "R")
+          .select(pmod(col("l_partkey"), lit(50)).as("bk"),
+            col("l_quantity"),
+            pmod(col("l_orderkey"), lit(S)).as("salt"))
+        val build = base("supplier")
+          .select(pmod(col("s_suppkey"), lit(50)).as("bk"), col("s_acctbal"))
+          .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+        left.join(build.hint("shuffle_hash"), Seq("bk", "salt"))
+          .groupBy("bk")
+          .agg(count(lit(1)).as("n_pairs"), sum("l_quantity").as("q"))
+      }),
+      "prefix_jaccard" -> (k => {
+        // q160 shape with content scaling the production way: each
+        // copy's tokens are salted with the copy index, so vocab and
+        // postings stay constant-width and candidate pairs grow
+        // linearly. (Plain row-copying would make every copy a
+        // near-dup of every other — output itself would be O(k²),
+        // which is an OUTPUT property, not an operator defect.)
+        val t5 = 4
+        val sets = scaled("documents", k, "doc_id")
+          .withColumn("cp", (col("doc_id") / Offset).cast("long"))
+          .filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"), col("cp"),
+            explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+              .as("tok0"))
+          .select(col("doc_id"),
+            concat(col("tok0"), lit("_"), col("cp")).as("tok"))
+          .distinct()
+        val freq = sets.groupBy("tok").agg(count(lit(1)).as("df"))
+        val ranked = sets.join(freq, "tok")
+          .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("df").asc, col("tok").asc)))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        val prefix = ranked
+          .filter(col("rank") <= col("n") - expr(s"(n * $t5 + 4) div 5") + 1)
+          .select(col("tok"), col("doc_id"), col("n"))
+        val cand = prefix.as("a").join(prefix.as("b"), Seq("tok"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("a.n").as("na"),
+            col("b.doc_id").as("b_id"), col("b.n").as("nb"))
+          .distinct()
+        cand.join(sets.select(col("doc_id").as("a_id"), col("tok")), "a_id")
+          .join(sets.select(col("doc_id").as("b_id"), col("tok")),
+            Seq("b_id", "tok"))
+          .groupBy("a_id", "b_id", "na", "nb")
+          .agg(count(lit(1)).as("inter"))
+          .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * t5)
+      }),
+      "time_travel_fanout" -> (k => {
+        // q161 shape: commit log scaled, constant retained-version
+        // fan-out (×3) — map-side explode, two combined shuffles.
+        val docs = scaled("documents", k, "doc_id")
+        val ops =
+          docs.select(col("doc_id"), lit(1).as("ver"), lit("I").as("op"))
+            .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+              .select(col("doc_id"), lit(2).as("ver"), lit("U").as("op")))
+            .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+              .select(col("doc_id"), lit(3).as("ver"), lit("D").as("op")))
+        ops.withColumn("v", explode(expr("sequence(ver, 3)")))
+          .groupBy("v", "doc_id")
+          .agg(expr("max_by(op, ver)").as("op"))
+          .groupBy("v")
+          .agg(sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"))
       }))
 
     def time(df: DataFrame): Double = {

@@ -31,8 +31,12 @@ object GraphOps {
       .groupBy("dst").agg(min("comp").as("comp"))
       .withColumnRenamed("dst", "id")
 
-  /** Both edge directions plus a self-loop per node; persisted — it is
-    * tiny (candidate pairs, not the corpus) and every round reuses it.
+  /** Both edge directions plus a self-loop per node; persisted ALREADY
+    * HASH-PARTITIONED on the join key, so the per-round join reuses the
+    * cached layout instead of re-exchanging the edge list every
+    * iteration — edges ≫ nodes, so that exchange is the loop's
+    * dominant shuffle at scale. (The comp side still shuffles each
+    * round: it is node-sized, the cheap side.)
     */
   private def adjSelf(edges: DataFrame): DataFrame = {
     val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -40,6 +44,7 @@ object GraphOps {
         col("a_id").as("dst")))
     adj.unionByName(
         adj.select(col("src")).distinct().withColumn("dst", col("src")))
+      .repartition(col("src"))
       .persist()
   }
 
