@@ -184,6 +184,108 @@ object VectorOps {
         .limit(20)
     }),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion of BM25 + cosine -----
+    // The RAG-era retrieval contract: a lexical arm (the q115 BM25
+    // scorer over fixed query terms) and a semantic arm (the q40
+    // brute-force cosine top-k) are each ranked to top-50, then fused
+    // with RRF (Cormack/Clarke/Buettcher 2009): score = Σ 1/(60+rank),
+    // carried in integer micro-units (floor(1e9/(60+r))) so the fused
+    // ordering is bit-identical across engines. Scale posture: both
+    // arms end in a TakeOrdered (no global sort); the rank windows run
+    // AFTER the limit, so every window frame is k-bounded (≤50 rows),
+    // never corpus-sized; the fusion join is a full-outer over two
+    // k-row frames. The corpus-sized work is exactly one tokenize pass
+    // (term-filtered, broadcast df/stats — the q115 plan) plus one
+    // map-only cosine pass (broadcast query vector — the q40 plan).
+    "q162_rrf_fusion" -> ((s0, d) => {
+      val s = withFns(s0)
+      val k = 50
+      val qTerms = Seq("scan", "column", "merge", "join", "order")
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), w -> w <> '')").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          col("toks"))
+      val stats = docs.agg(count(lit(1)).as("n"), sum("dl").as("tot"))
+      // persisted: tf feeds BOTH the df pass and the scoring join (the
+      // q115 discipline) — without it the corpus is tokenized twice
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(qTerms: _*))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val avgdl = col("tot").cast("double") / col("n")
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+      val denom = col("tf") +
+        lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl)
+      val bm = tf.join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("micro",
+          floor(lit(1e6) * idf * (col("tf") * 2.2) / denom).cast("long"))
+        .groupBy("doc_id").agg(sum("micro").as("score_micro"))
+      val textTop = bm
+        .orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
+        .select(col("doc_id"),
+          row_number().over(Window
+              .orderBy(col("score_micro").desc, col("doc_id").asc))
+            .cast("long").as("r_text"))
+      val e = table(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val vecTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(dot("embedding", "qvec") / (norm("embedding") * norm("qvec")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id").asc).limit(k)
+        .select(col("doc_id"),
+          row_number().over(Window
+              .orderBy(col("cosine").desc, col("doc_id").asc))
+            .cast("long").as("r_vec"))
+      textTop.join(vecTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(floor(lit(1000000000.0) / (lit(60) + col("r_text")))
+            .cast("long"), lit(0L)) +
+          coalesce(floor(lit(1000000000.0) / (lit(60) + col("r_vec")))
+            .cast("long"), lit(0L)))
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // ---- eval-set leakage report: LSH-bucketed cross-set sim join ------
+    // Semantic decontamination, the embedding-space complement of the
+    // token-based screens (q89 exact, q97 Bloom): for every benchmark
+    // vector (vec_id % 50 = 0 stands in for the eval suite), the top-3
+    // nearest corpus vectors AMONG ITS LSH BUCKET — random-hyperplane
+    // sign buckets (the q49 construction), so candidate generation
+    // needs no corpus shuffle at all: the bench side is benchmark-suite
+    // sized (broadcastable at any corpus scale) and the bucket
+    // equi-join keeps comparisons to the colliding ~1/16 slice instead
+    // of |corpus|×|bench|. The rank window shuffles only candidate
+    // rows, keyed by bench_id. Approximation is deterministic (same
+    // hyperplanes both engines), so the oracle is an exact hash-match,
+    // not a recall bound.
+    "q164_semantic_decontam" -> ((s0, d) => {
+      val s = withFns(s0)
+      val e = table(s, d, "embeddings").withColumn("bucket", expr(lshBucket))
+      val bench = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("bucket"), col("vec_id").as("bench_id"),
+          col("embedding").as("bvec"))
+      val corpus = e.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+        .select(col("bucket"), col("vec_id").as("corpus_id"),
+          col("embedding"))
+      val scored = corpus.join(broadcast(bench), "bucket")
+        .select(col("bench_id"), col("corpus_id"),
+          round(dot("embedding", "bvec") / (norm("embedding") * norm("bvec")), 6)
+            .as("cos_r"))
+      scored
+        .withColumn("rk", row_number().over(Window.partitionBy("bench_id")
+          .orderBy(col("cos_r").desc, col("corpus_id").asc)).cast("long"))
+        .filter(col("rk") <= 3)
+    }),
+
     // ---- vector norms + per-label stats --------------------------------
     "q41_vector_norms" -> ((s0, d) => {
       val s = withFns(s0)
@@ -725,6 +827,74 @@ object VectorOps {
              THEN '1' ELSE '0' END), '') AS bucket
            FROM embeddings)
          GROUP BY bucket""",
+    "q162_rrf_fusion" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                    w -> w <> '') AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         tf AS (
+           SELECT doc_id, tok, count(*) AS tf FROM (
+             SELECT doc_id, unnest(toks) AS tok FROM d)
+           WHERE tok IN ('scan', 'column', 'merge', 'join', 'order')
+           GROUP BY doc_id, tok),
+         df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+                GROUP BY tok),
+         bm AS (
+           SELECT tf.doc_id,
+             CAST(sum(CAST(floor(
+               1e6 * ln((n - df + 0.5) / (df + 0.5) + 1)
+                 * (tf * CAST(2.2 AS DOUBLE))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                                / (CAST(tot AS DOUBLE) / n)))) AS BIGINT))
+               AS BIGINT) AS score_micro
+           FROM tf
+           JOIN dl ON tf.doc_id = dl.doc_id
+           JOIN df ON tf.tok = df.tok, stats
+           GROUP BY tf.doc_id),
+         tt AS (
+           SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY score_micro DESC, doc_id) AS BIGINT) AS r_text
+           FROM bm ORDER BY score_micro DESC, doc_id LIMIT 50),
+         vv AS (
+           SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY cosine DESC, doc_id) AS BIGINT) AS r_vec
+           FROM (
+             SELECT vec_id AS doc_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                  WHERE vec_id = 0)), 6) AS cosine
+             FROM embeddings WHERE vec_id <> 0)
+           ORDER BY cosine DESC, doc_id LIMIT 50)
+         SELECT COALESCE(tt.doc_id, vv.doc_id) AS doc_id, r_text, r_vec,
+           COALESCE(CAST(floor(1000000000.0 / (60 + r_text)) AS BIGINT), 0)
+           + COALESCE(CAST(floor(1000000000.0 / (60 + r_vec)) AS BIGINT), 0)
+             AS rrf_micro
+         FROM tt FULL OUTER JOIN vv ON tt.doc_id = vv.doc_id
+         ORDER BY rrf_micro DESC, doc_id LIMIT 20""",
+    "q164_semantic_decontam" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+             array_to_string(list_transform([1,2,3,4], j ->
+               CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                 list_transform(range(1, len(embedding) + 1),
+                   k -> CAST((j*31 + k*17) % 7 - 3 AS DOUBLE))) > 0
+               THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings),
+         sc AS (
+           SELECT b.vec_id AS bench_id, c.vec_id AS corpus_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
+           FROM e b JOIN e c ON b.bucket = c.bucket
+           WHERE b.vec_id % 50 = 0 AND c.vec_id % 50 <> 0)
+         SELECT bench_id, corpus_id, cos_r, CAST(rk AS BIGINT) AS rk
+         FROM (SELECT sc.*, row_number() OVER (
+             PARTITION BY bench_id ORDER BY cos_r DESC, corpus_id) AS rk
+           FROM sc)
+         WHERE rk <= 3""",
     "q40_cosine_topk" ->
       """SELECT vec_id,
          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
