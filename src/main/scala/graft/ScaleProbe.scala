@@ -481,6 +481,39 @@ object ScaleProbe {
           .agg(count(lit(1)).as("inter"))
           .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * t5)
       }),
+      "bucketed_decontam" -> (k => {
+        // q164 shape scaled the production way: the benchmark side
+        // stays FIXED (eval suites don't grow with the corpus) while
+        // the corpus scales k× — candidate pairs grow linearly with
+        // the corpus, and the broadcast bench side keeps the corpus
+        // shuffle-free at any k.
+        val lshB = """concat_ws('', transform(sequence(1, 4), j ->
+             CASE WHEN aggregate(
+               zip_with(embedding,
+                 transform(sequence(1, size(embedding)),
+                   kk -> CAST((j*31 + kk*17) % 7 - 3 AS DOUBLE)),
+                 (x, w) -> CAST(x AS DOUBLE) * w),
+               CAST(0 AS DOUBLE), (a, v) -> a + v) > 0
+             THEN '1' ELSE '0' END))"""
+        val bench = base("embeddings")
+          .filter(pmod(col("vec_id"), lit(50)) === 0)
+          .withColumn("bucket", expr(lshB))
+          .select(col("bucket"), col("vec_id").as("bench_id"),
+            col("embedding").as("bvec"))
+        val corpus = scaled("embeddings", k, "vec_id")
+          .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+          .withColumn("bucket", expr(lshB))
+          .select(col("bucket"), col("vec_id").as("corpus_id"),
+            col("embedding"))
+        corpus.join(broadcast(bench), "bucket")
+          .select(col("bench_id"), col("corpus_id"),
+            (expr("array_dot(embedding, bvec)") /
+              (sqrt(expr("array_dot(embedding, embedding)")) *
+                sqrt(expr("array_dot(bvec, bvec)")))).as("c"))
+          .withColumn("rk", row_number().over(Window.partitionBy("bench_id")
+            .orderBy(col("c").desc, col("corpus_id").asc)))
+          .filter(col("rk") <= 3)
+      }),
       "time_travel_fanout" -> (k => {
         // q161 shape: commit log scaled, constant retained-version
         // fan-out (×3) — map-side explode, two combined shuffles.
@@ -510,7 +543,12 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = probes.toSeq.sortBy(_._1).map { case (name, mk) =>
+    // Optional third arg: comma-separated probe-name prefixes — iterate
+    // on one probe without replaying the whole suite.
+    val only = args.lift(2).map(_.split(',').toSeq)
+    val results = probes.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, mk) =>
       time(mk(1)); time(mk(n)) // warmup both shapes
       val t1 = time(mk(1))
       val tn = time(mk(n))
