@@ -169,16 +169,30 @@ object GraphOps {
         .select(col("doc_id"),
           expr("""(cast(size(array_distinct(t)) as bigint) * 1000000)
                   div size(t)""").as("ttr_ppm"))
+      // Split the corpus at the component membership boundary: only
+      // docs inside a dup component need the per-family rank window
+      // (candidate-bounded work); every other doc is its own family
+      // with rn=1/n_docs=1 by definition — a map-only filter with NO
+      // window, so the corpus never shuffles on `family`. One corpus
+      // pass: the scored+membership frame (3 narrow columns, text
+      // dropped) is persisted once for its two consumers; comp is the
+      // near-dup population (small vs corpus) — AQE broadcasts it.
       val fam = scored.join(comp, Seq("doc_id"), "left_outer")
-        .withColumn("family", coalesce(col("comp"), col("doc_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w = Window.partitionBy("family")
         .orderBy(col("ttr_ppm").desc, col("doc_id"))
-      fam.withColumn("rn", row_number().over(w))
+      val dupPicks = fam.filter(col("comp").isNotNull)
+        .withColumn("family", col("comp"))
+        .withColumn("rn", row_number().over(w))
         .withColumn("n_docs",
           count(lit(1)).over(Window.partitionBy("family")))
         .filter(col("rn") === 1)
         .select(col("family").as("family_id"), col("doc_id").as("keep_doc"),
           col("ttr_ppm").as("keep_ttr"), col("n_docs"))
+      val singles = fam.filter(col("comp").isNull)
+        .select(col("doc_id").as("family_id"), col("doc_id").as("keep_doc"),
+          col("ttr_ppm").as("keep_ttr"), lit(1L).as("n_docs"))
+      dupPicks.unionByName(singles)
     }),
 
     // ---- q136: near-dup graph quality audit ----------------------------

@@ -119,8 +119,18 @@ object TextOps {
     // — each feeds two consumers.
     "q140_minhash_accuracy" -> ((s, d) => {
       val sigs = minhashSigs(s, d).persist()
-      val pairs = lshPairsOf(sigs, MaxLshBucket)
-      val sh = shingled(s, d).distinct().persist()
+      val pairs = lshPairsOf(sigs, MaxLshBucket).persist()
+      // The audit is candidate-bounded: only docs that appear in an LSH
+      // pair need their exact shingle sets. Broadcast the candidate id
+      // set and semi-filter BEFORE the exact-Jaccard joins, so the
+      // corpus-wide shingle table is never shuffled — the exact pass
+      // scales with |candidates|, not |corpus| (same discipline as the
+      // q84 verify stage).
+      val candIds = pairs.select(col("a_id").as("doc_id"))
+        .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+      val sh = shingled(s, d).distinct()
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = pairs
         .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
