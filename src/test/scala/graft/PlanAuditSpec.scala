@@ -393,4 +393,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(finalPlan.contains("Generate explode"),
       "visibility must come from explode(sequence(ver, N))")
   }
+
+  test("registerViews: full corpus + native functions reachable via spark.sql") {
+    graft.Tables.registerViews(spark, sf)
+    val r = spark.sql(
+      """SELECT d.lang, count(*) AS n,
+             round(max(array_dot(e.embedding, e.embedding)), 4) AS max_sq
+         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         GROUP BY d.lang ORDER BY d.lang""").collect()
+    assert(r.nonEmpty && r.forall(_.getAs[Double]("max_sq") > 0))
+  }
 }
