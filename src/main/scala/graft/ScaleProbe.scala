@@ -328,6 +328,59 @@ object ScaleProbe {
           .strictPrefixMaxDesc(grp, "x", "gy", "sy")
           .filter(col("sy").isNull || col("gy") > col("sy"))
       }),
+      "kmv_sketch" -> (k => {
+        // q165 shape with sources fixed and per-source volume scaled:
+        // the claim under probe is that reducer state stays ≤ K longs
+        // per source while the map-side cost grows linearly.
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        val kmv = udaf(new graft.functions.KmvMinK(64))
+        scaled("documents", k, "doc_id")
+          .withColumn("tokens", toks)
+          .filter(size(col("tokens")) >= 3)
+          .select(col("source"), explode(expr(
+            """transform(sequence(0, size(tokens) - 3),
+               i -> concat_ws(' ', slice(tokens, i + 1, 3)))"""))
+            .as("shingle"))
+          .select(col("source"),
+            conv(substring(md5(col("shingle")), 1, 13), 16, 10)
+              .cast("long").as("hv"))
+          .groupBy("source").agg(kmv(col("hv")).as("arr"))
+          .select(col("source"), size(col("arr")).as("m"))
+      }),
+      "hard_negative_topk" -> (k => {
+        // q166 shape: anchor set FIXED (eval-suite-sized), corpus
+        // scaled — wall time should track the map-side scoring pass.
+        graft.functions.GraftFunctions.register(spark)
+        val e = scaled("embeddings", k, "vec_id")
+        val anchors = base("embeddings").filter(col("vec_id") < 5)
+          .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+            col("embedding").as("a_vec"))
+        val w = Window.partitionBy("a_id")
+          .orderBy(col("cosine").desc, col("neg_id").asc)
+        e.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(anchors))
+          .filter(col("label") =!= col("a_label"))
+          .select(col("a_id"), col("vec_id").as("neg_id"),
+            round(expr("array_dot(embedding, a_vec)") /
+              (sqrt(expr("array_dot(embedding, embedding)")) *
+                sqrt(expr("array_dot(a_vec, a_vec)"))), 6).as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+      }),
+      "url_canonicalize" -> (k =>
+        // q170 shape: map-side regexp chain + one combined groupBy.
+        scaled("orders", k, "o_orderkey")
+          .withColumn("url",
+            concat(lit("HTTPS://SHOP.Example.COM:443/item/"),
+              expr("o_orderkey div 4"), lit("?utm_source=feed#ref")))
+          .select(concat(lit("https://"),
+            lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/:?#]+)", 1)),
+            regexp_replace(regexp_replace(regexp_extract(col("url"),
+              "^[a-zA-Z]+://[^/?#]+(.*)$", 1),
+              "[?&](utm_[a-z]+|fbclid)=[^&#]*", ""), "#.*$", ""))
+            .as("canon_url"), col("o_orderkey"))
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_raw"), min("o_orderkey").as("keeper"))),
       "label_blocked_cosine" -> (k => {
         graft.functions.GraftFunctions.register(spark)
         // labels shifted too: block sizes stay constant, total linear.

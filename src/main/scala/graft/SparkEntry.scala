@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ VectorOps.queries ++
       GraphOps.queries ++ MultimodalOps.queries ++ WikitextOps.queries ++
-      AnalyticsOps.queries ++ AuditOps.queries ++
+      AnalyticsOps.queries ++ AuditOps.queries ++ Wave8Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
       GraphOps.oracle ++ MultimodalOps.oracle ++ WikitextOps.oracle ++
-      AnalyticsOps.oracle ++ AuditOps.oracle ++
+      AnalyticsOps.oracle ++ AuditOps.oracle ++ Wave8Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }

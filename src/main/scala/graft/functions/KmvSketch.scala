@@ -24,7 +24,27 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Long] {
 
-  private def insert(b: Array[Long], v: Long): Array[Long] = {
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(b: Array[Long], a: Long): Array[Long] =
+    KmvSketch.insert(b, a, k)
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    b2.foldLeft(b1)(KmvSketch.insert(_, _, k))
+
+  override def finish(b: Array[Long]): Long =
+    if (b.isEmpty) Long.MaxValue else b(math.min(b.length, k) - 1)
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+object KmvSketch {
+  /** Sorted bounded insert shared by the two KMV aggregators: O(log k)
+    * search + bounded copy, state never exceeds k distinct longs. */
+  private[functions] def insert(b: Array[Long], v: Long, k: Int): Array[Long] = {
     val i = java.util.Arrays.binarySearch(b, v)
     if (i >= 0) b // already present
     else {
@@ -40,19 +60,36 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Long] {
       }
     }
   }
+}
+
+/** KMV sketch variant that returns the WHOLE retained min-k array
+  * (sorted ascending) instead of just the k-th order statistic.
+  *
+  * This is the mergeable-sketch contract set algebra needs: two
+  * sketches over different partitions of a keyspace can be combined
+  * AFTER aggregation — union = min-k of the concatenation, and the
+  * intersection/Jaccard estimators (Beyer et al., SIGMOD 2007) only
+  * need membership tests of the union sketch's values in each input
+  * sketch. Per-group state is still at most k longs, map-side
+  * combined, so a per-source sketch over 100 TB ships k×|sources|
+  * longs to the reducers — never the distinct keys themselves (q165
+  * builds per-source shingle sketches exactly this way).
+  */
+class KmvMinK(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
 
   override def zero: Array[Long] = Array.emptyLongArray
 
-  override def reduce(b: Array[Long], a: Long): Array[Long] = insert(b, a)
+  override def reduce(b: Array[Long], a: Long): Array[Long] =
+    KmvSketch.insert(b, a, k)
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
-    b2.foldLeft(b1)(insert)
+    b2.foldLeft(b1)(KmvSketch.insert(_, _, k))
 
-  override def finish(b: Array[Long]): Long =
-    if (b.isEmpty) Long.MaxValue else b(math.min(b.length, k) - 1)
+  override def finish(b: Array[Long]): Array[Long] = b
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 
-  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

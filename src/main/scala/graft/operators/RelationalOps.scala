@@ -645,6 +645,46 @@ object RelationalOps {
         LIMIT 10""")
     }),
 
+    // ---- SQL surface: EXISTS correlated subquery (TPC-H Q4 shape) ------
+    // Orders from one year having at least one returned line item.
+    // Catalyst decorrelates the EXISTS into a LEFT SEMI hash join on
+    // l_orderkey — no per-row re-execution, no nested loop; the same
+    // query a user would paste from a Postgres console runs as one
+    // shuffle join at any scale. (Identical SQL text is the oracle.)
+    "q168_exists_subquery" -> ((s, d) => {
+      Seq("orders", "lineitem").foreach(t =>
+        table(s, d, t).createOrReplaceTempView(t))
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority""")
+    }),
+
+    // ---- SQL surface: correlated SCALAR subquery (TPC-H Q17 shape) -----
+    // Line items below 20% of their part's average quantity — the
+    // "small-order" revenue probe. Catalyst decorrelates the per-part
+    // scalar aggregate into ONE pre-aggregation of lineitem by
+    // l_partkey joined back — the subquery's corpus cost is a single
+    // map-side-combined aggregation, not #parts re-scans. Outputs are
+    // integer-exact (count + integer-valued quantity sum); the 0.2·avg
+    // threshold is the same two IEEE ops in both engines.
+    "q169_scalar_subquery" -> ((s, d) => {
+      Seq("part", "lineitem").foreach(t =>
+        table(s, d, t).createOrReplaceTempView(t))
+      s.sql("""
+        SELECT count(*) AS n_small, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#12'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)""")
+    }),
+
     // ---- sessionization: gaps-and-islands over the event stream --------
     "q29_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("event_id")
@@ -921,6 +961,22 @@ object RelationalOps {
          GROUP BY o_orderkey, o_orderdate
          ORDER BY revenue DESC, o_orderkey ASC
          LIMIT 10""",
+    "q168_exists_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_returnflag = 'R')
+         GROUP BY o_orderpriority""",
+    "q169_scalar_subquery" ->
+      """SELECT count(*) AS n_small, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#12'
+           AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)""",
     "q60_approx_distinct" ->
       """WITH hv AS (
            SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hv

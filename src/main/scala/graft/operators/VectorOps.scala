@@ -341,6 +341,62 @@ object VectorOps {
           .as(s"p$j")
       }
       e.select(col("vec_id") +: projCols: _*)
+    }),
+
+    // ---- q166: contrastive hard-negative mining -------------------------
+    // For each anchor vector, the top-3 most-similar vectors of a
+    // DIFFERENT label — the "hard negatives" a contrastive training run
+    // mines to sharpen its decision boundary (easy random negatives
+    // teach nothing). Plan shape is the q40/q164 broadcast discipline:
+    // the anchor set is eval-suite-sized at any corpus scale, so it
+    // broadcasts and the corpus is scored map-side; the per-anchor
+    // row_number(≤3) plans a partial WindowGroupLimit, bounding the
+    // rank exchange to ≤3 rows per anchor per partition — the corpus
+    // is never window-sorted. At production recall targets the scored
+    // candidates come from the q86 IVF cells instead of the full scan;
+    // the mining contract (rank within anchor, cross-label only) is
+    // unchanged.
+    "q166_hard_negatives" -> ((s0, d) => {
+      val s = withFns(s0)
+      val e = table(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("embedding").as("a_vec"))
+      val scored = e.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(anchors))
+        .filter(col("label") =!= col("a_label"))
+        .select(col("a_id"), col("vec_id").as("neg_id"),
+          round(dot("embedding", "a_vec") /
+            (norm("embedding") * norm("a_vec")), 6).as("cosine"))
+      val w = Window.partitionBy("a_id")
+        .orderBy(col("cosine").desc, col("neg_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+    }),
+
+    // ---- q171: paired-modality agreement gate (CLIP-score filter) ------
+    // The LAION curation pass: keep an (image, caption) pair only when
+    // the two modality embeddings agree (cosine ≥ τ). Pairing here is
+    // synthetic (partner id = vec_id XOR 1 — deterministic at every
+    // SF); the engine-relevant part is the shape: a 1:1 equi-join on
+    // the pair id (ONE shuffle, or zero when both modality tables are
+    // bucketed on it) followed by a codegen'd per-row cosine and a
+    // map-side filter. Nothing about the plan changes when the two
+    // sides are separate image/text embedding tables of a billion
+    // pairs.
+    "q171_clip_gate" -> ((s0, d) => {
+      val s = withFns(s0)
+      val e = table(s, d, "embeddings")
+      val img = e.select(col("vec_id"), col("label"),
+        col("embedding").as("img_vec"))
+      val cap = e.select(expr("vec_id ^ CAST(1 AS BIGINT)").as("vec_id"),
+        col("embedding").as("cap_vec"))
+      img.join(cap, "vec_id")
+        .withColumn("clip_score",
+          round(dot("img_vec", "cap_vec") /
+            (norm("img_vec") * norm("cap_vec")), 6))
+        .filter(col("clip_score") >= 0.05)
+        .select(col("vec_id"), col("label"), col("clip_score"))
     })
   )
 
@@ -944,6 +1000,28 @@ object VectorOps {
              list_transform(range(0, 64), i ->
                CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':$j'), 1, 1) < '8'
                     THEN 1.0 ELSE -1.0 END)), 6) AS p$j""").mkString(", ") +
-      " FROM embeddings")
+      " FROM embeddings"),
+    "q166_hard_negatives" ->
+      """SELECT a_id, neg_id, cosine, rank FROM (
+           SELECT a.vec_id AS a_id, n.vec_id AS neg_id,
+             round(list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+               CAST(a.embedding AS DOUBLE[])), 6) AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(
+                 CAST(n.embedding AS DOUBLE[]),
+                 CAST(a.embedding AS DOUBLE[])), 6) DESC, n.vec_id)
+               AS rank
+           FROM embeddings a
+           JOIN embeddings n ON n.label <> a.label AND n.vec_id >= 5
+           WHERE a.vec_id < 5)
+         WHERE rank <= 3""",
+    "q171_clip_gate" ->
+      """SELECT i.vec_id, i.label,
+           round(list_cosine_similarity(CAST(i.embedding AS DOUBLE[]),
+             CAST(c.embedding AS DOUBLE[])), 6) AS clip_score
+         FROM embeddings i
+         JOIN embeddings c ON i.vec_id = xor(c.vec_id, 1)
+         WHERE round(list_cosine_similarity(CAST(i.embedding AS DOUBLE[]),
+             CAST(c.embedding AS DOUBLE[])), 6) >= 0.05"""
   )
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** Round-4 wave 8: sketch set algebra and URL-level dedup — two corpus
+  * governance shapes a 100 TB ingestion pipeline runs before any
+  * content-level pass:
+  *
+  *   - KMV sketch set operations (q165): per-source distinct-shingle
+  *     sketches (k minimum hash values each) combined pairwise into
+  *     union / intersection / Jaccard ESTIMATES (Bar-Yossef et al. 2002;
+  *     Beyer et al., SIGMOD 2007). The exact pairwise overlap audit
+  *     (q131) shuffles per-source-distinct posting lists — fine when
+  *     sources fit; the sketch version answers the same "how much of
+  *     dump B is already in dump A" question shipping AT MOST k longs
+  *     per source, so 1000 dumps cost 1000·k longs of reducer input
+  *     regardless of corpus size. Estimates are carried in pure integer
+  *     arithmetic ((m−1)·2^52 div u_m, ppm ratios) so both engines
+  *     agree bit-for-bit.
+  *
+  *   - URL canonicalization + dedup (q170): the RefinedWeb/CCNet
+  *     URL-level dedup pass — lowercase scheme+host, strip default
+  *     ports, drop tracking params (utm_*, fbclid) and fragments, trim
+  *     trailing slashes, then keep one row per canonical URL. Pure
+  *     map-side regexp canonicalization feeding one groupBy — the
+  *     cheapest dedup gate there is, run before any text is even read.
+  *     (Reference context: the reference stores raw `url` and derives
+  *     host/curid with string ops — extract_references.py; this is the
+  *     corpus-scale generalization of that normalization step.)
+  */
+object Wave8Ops {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokenize into non-empty lowercase word array (TextOps contract). */
+  private def words(c: Column): Column =
+    filter(split(lower(c), " "), w => w =!= "")
+
+  /** Sketch size: estimates are ±~1/√k; 64 matches q60's KMV. */
+  private val K = 64
+
+  val queries: Map[String, Q] = Map(
+    // ---- q165: KMV sketch set algebra across sources -------------------
+    // Per-source sketch = the K smallest 52-bit md5 hashes of the
+    // source's distinct 3-token shingles (bounded KmvMinK aggregator:
+    // map-side combined, ≤K longs of state per group). Pairwise:
+    //   merged  = min-K of the two sketches' union (dedup'd)
+    //   m_u     = |merged|  (< K only when both sets are tiny)
+    //   u_m     = merged[m_u]           (the m_u-th order statistic)
+    //   union_est   = (m_u−1)·2^52 div u_m
+    //   rho     = |{x ∈ merged : x ∈ A ∧ x ∈ B}|
+    //   jaccard_ppm = rho·1e6 div m_u
+    //   inter_est   = rho·union_est div m_u
+    // All integer ops over exact hash values — engine-portable with no
+    // float division. The pair frame is |sources|² sketch rows (tiny at
+    // any corpus scale), so the non-equi `<` pairing is a bounded
+    // build, never a corpus-sized nested loop.
+    "q165_kmv_set_ops" -> ((s, d) => {
+      val sh = table(s, d, "documents")
+        .withColumn("tokens", words(col("text")))
+        .filter(size(col("tokens")) >= 3)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(tokens) - 3),
+             i -> concat_ws(' ', slice(tokens, i + 1, 3)))""")).as("shingle"))
+      val hv = conv(substring(md5(col("shingle")), 1, 13), 16, 10)
+        .cast("long")
+      val kmv = udaf(new graft.functions.KmvMinK(K))
+      val sk = sh.select(col("source"), hv.as("hv"))
+        .groupBy("source").agg(kmv(col("hv")).as("arr"))
+      val a = sk.select(col("source").as("src_a"), col("arr").as("a_arr"))
+      val b = sk.select(col("source").as("src_b"), col("arr").as("b_arr"))
+      a.join(b, col("src_a") < col("src_b"))
+        .withColumn("merged",
+          slice(array_sort(array_union(col("a_arr"), col("b_arr"))), 1, K))
+        .withColumn("m_u", size(col("merged")).cast("long"))
+        .withColumn("u_m", element_at(col("merged"), col("m_u").cast("int")))
+        .withColumn("union_est",
+          expr("(m_u - 1) * CAST(4503599627370496 AS BIGINT) div u_m"))
+        .withColumn("rho",
+          size(array_intersect(array_intersect(col("merged"), col("a_arr")),
+            col("b_arr"))).cast("long"))
+        .select(col("src_a"), col("src_b"), col("union_est"),
+          expr("rho * union_est div m_u").as("inter_est"),
+          expr("rho * 1000000 div m_u").as("jaccard_ppm"))
+    }),
+
+    // ---- q170: URL canonicalization + dedup ----------------------------
+    // Synthetic raw URLs (4 deterministic variants per item id: host
+    // case, default port + utm tracking param, trailing slash +
+    // fragment) canonicalized with the standard pass and deduped on
+    // the canonical form. Everything up to the final groupBy is
+    // codegen'd per-row string work; the groupBy on the canonical URL
+    // is the only shuffle, map-side combined.
+    "q170_url_dedup" -> ((s, d) => {
+      val raw = table(s, d, "orders")
+        .withColumn("item", expr("o_orderkey div 4"))
+        .withColumn("v", expr("o_orderkey % 4"))
+        .withColumn("url",
+          when(col("v") === 0,
+            concat(lit("https://shop.example.com/item/"), col("item")))
+          .when(col("v") === 1,
+            concat(lit("HTTPS://SHOP.Example.COM/item/"), col("item")))
+          .when(col("v") === 2,
+            concat(lit("https://shop.example.com:443/item/"), col("item"),
+              lit("?utm_source=feed&utm_campaign=x")))
+          .otherwise(
+            concat(lit("https://shop.example.com/item/"), col("item"),
+              lit("/#ref"))))
+      // canonicalization: drop fragment -> drop tracking params (fix
+      // dangling ?/&) -> lowercase scheme+host, strip default port ->
+      // trim trailing slash on a non-root path
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val noTrack = regexp_replace(
+        regexp_replace(noFrag, "(utm_[a-z]+|fbclid)=[^&#]*&?", ""),
+        "[?&]$", "")
+      val host = lower(regexp_extract(noTrack, "^[a-zA-Z]+://([^/:?#]+)", 1))
+      val port = regexp_extract(noTrack, "^[a-zA-Z]+://[^/:?#]+:([0-9]+)", 1)
+      val rest = regexp_extract(noTrack, "^[a-zA-Z]+://[^/?#]+(.*)$", 1)
+      val canon = concat(lit("https://"), host,
+        when(port === "" || port === "443" || port === "80", lit(""))
+          .otherwise(concat(lit(":"), port)),
+        regexp_replace(rest, "/(?=$|\\?)", ""))
+      raw.select(canon.as("canon_url"), col("o_orderkey"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_raw"), min("o_orderkey").as("keeper"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q165_kmv_set_ops" ->
+      s"""WITH toks AS (
+           SELECT source,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(shingle), 1, 13)) AS BIGINT) AS hv
+           FROM (
+             SELECT source, unnest(list_transform(range(0, len(tokens) - 2),
+               i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' '))) AS shingle
+             FROM toks WHERE len(tokens) >= 3)),
+         rk AS (
+           SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+           FROM sh),
+         sk AS (
+           SELECT source, list_sort(list(hv)) AS arr
+           FROM rk WHERE rn <= $K GROUP BY source),
+         pairs AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             a.arr AS a_arr, b.arr AS b_arr,
+             list_slice(list_sort(list_distinct(a.arr || b.arr)), 1, $K) AS merged
+           FROM sk a JOIN sk b ON a.source < b.source),
+         est AS (
+           SELECT src_a, src_b,
+             len(merged) AS m_u,
+             (len(merged) - 1) * 4503599627370496 // merged[len(merged)]
+               AS union_est,
+             len(list_filter(merged,
+               x -> list_contains(a_arr, x) AND list_contains(b_arr, x)))
+               AS rho
+           FROM pairs)
+         SELECT src_a, src_b, union_est,
+           rho * union_est // m_u AS inter_est,
+           rho * 1000000 // m_u AS jaccard_ppm
+         FROM est""",
+    "q170_url_dedup" ->
+      """WITH raw AS (
+           SELECT o_orderkey, o_orderkey // 4 AS item, o_orderkey % 4 AS v
+           FROM orders),
+         urls AS (
+           SELECT o_orderkey,
+             CASE v
+               WHEN 0 THEN 'https://shop.example.com/item/' || item
+               WHEN 1 THEN 'HTTPS://SHOP.Example.COM/item/' || item
+               WHEN 2 THEN 'https://shop.example.com:443/item/' || item
+                 || '?utm_source=feed&utm_campaign=x'
+               ELSE 'https://shop.example.com/item/' || item || '/#ref'
+             END AS url
+           FROM raw),
+         canon AS (
+           SELECT o_orderkey,
+             'https://' || lower(regexp_extract(clean,
+                 '^[a-zA-Z]+://([^/:?#]+)', 1))
+               || CASE WHEN port = '' OR port = '443' OR port = '80'
+                       THEN '' ELSE ':' || port END
+               || regexp_replace(regexp_extract(clean,
+                    '^[a-zA-Z]+://[^/?#]+(.*)$', 1), '/(\?|$)', '\1')
+               AS canon_url
+           FROM (
+             SELECT o_orderkey, clean,
+               regexp_extract(clean, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1)
+                 AS port
+             FROM (
+               SELECT o_orderkey,
+                 regexp_replace(
+                   regexp_replace(regexp_replace(url, '#.*$', ''),
+                     '(utm_[a-z]+|fbclid)=[^&#]*&?', '', 'g'),
+                   '[?&]$', '') AS clean
+               FROM urls)))
+         SELECT canon_url, count(*) AS n_raw, min(o_orderkey) AS keeper
+         FROM canon GROUP BY canon_url""")
+}

@@ -119,6 +119,39 @@ object StreamingOps {
     runToTable(joined, "append")
   }
 
+  /** Stream-stream LEFT OUTER join with watermarks — q66's attribution
+    * join plus the rows q66 drops: clicks that led to NO purchase
+    * within the hour (the abandonment signal). Outer emission is
+    * watermark-driven: a click's null row can only be produced once
+    * the global watermark passes `click_time + 1h` (the latest instant
+    * a matching purchase could still arrive), at which point its state
+    * is evicted. Clicks younger than that are still "open" when an
+    * AvailableNow drain terminates and are NOT emitted — the oracle
+    * below encodes exactly that cutoff, documenting the semantics
+    * instead of pretending the stream equals a batch left join. The
+    * global watermark is min over both inputs of (max event time −
+    * delay); Spark runs a closing no-data micro-batch so eviction
+    * happens even on a single-file drain. */
+  def streamLeftOuter(s: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, prefix: String) =
+      streamEvents(s, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"),
+          col("event_id").as(s"${prefix}_id"),
+          timestamp_seconds(expr("ts div 1000000000"))
+            .as(s"${prefix}_time"))
+        .withWatermark(s"${prefix}_time", "1 hour")
+    val clicks = side("click", "click")
+    val purchases = side("purchase", "purchase")
+    val joined = clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(clicks("user_id"), col("click_id"), col("purchase_id"))
+    runToTable(joined, "append")
+  }
+
   /** Native event-time session windows (30-min gap) — the declarative
     * twin of the flatMapGroupsWithState sessionizer; complete mode so
     * every closed-and-open session reaches the sink. */
@@ -189,6 +222,7 @@ object StreamingOps {
     "q52_stream_window" -> ((s, d) => windowedAgg(s, d)),
     "q53_stream_dedup" -> ((s, d) => streamingDedup(s, d)),
     "q66_stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
+    "q167_stream_left_outer" -> ((s, d) => streamLeftOuter(s, d)),
     "q67_session_window" -> ((s, d) => sessionWindowAgg(s, d)),
     "q91_stream_enrich" -> ((s, d) => streamStaticEnrich(s, d)),
     "q107_stream_neardup_index" -> ((s, d) => streamNeardupIndex(s, d)),
@@ -227,6 +261,31 @@ object StreamingOps {
                FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id
           AND p.sec >= c.sec AND p.sec <= c.sec + 3600""",
+    // Left-outer = the inner matches plus the watermark-evicted
+    // unmatched clicks. A null row only emits once the global watermark
+    // (min over both inputs of max event time − 1h delay) passes the
+    // click's last matchable instant (click_time + 1h join range);
+    // younger unmatched clicks are still open state when the
+    // AvailableNow drain stops and are withheld — the oracle encodes
+    // that cutoff rather than pretending stream == batch left join.
+    "q167_stream_left_outer" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec
+                    FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec
+                    FROM events WHERE event_type = 'purchase'),
+            wm AS (SELECT least((SELECT max(sec) FROM c),
+                                (SELECT max(sec) FROM p)) - 3600 AS w)
+         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+         FROM c JOIN p
+           ON c.user_id = p.user_id
+          AND p.sec >= c.sec AND p.sec <= c.sec + 3600
+         UNION ALL
+         SELECT c.user_id, c.event_id AS click_id, NULL AS purchase_id
+         FROM c, wm
+         WHERE c.sec + 3600 < wm.w
+           AND NOT EXISTS (SELECT 1 FROM p
+                           WHERE p.user_id = c.user_id
+                             AND p.sec >= c.sec AND p.sec <= c.sec + 3600)""",
     // Stream == batch: the per-signature index over a static stream
     // input is exactly the batch MinHash band aggregation (q37's sigs).
     "q107_stream_neardup_index" ->

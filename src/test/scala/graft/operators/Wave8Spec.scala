@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.KmvMinK
+
+/** Contracts for the wave-8 operators: KMV sketch set algebra (q165),
+  * contrastive hard-negative mining (q166), the watermarked
+  * stream-stream LEFT OUTER join (q167, see StreamingSpec), the
+  * decorrelated-subquery SQL surface (q168/q169), URL canonicalization
+  * dedup (q170) and the paired-modality CLIP gate (q171). The DuckDB
+  * oracle checks exact values at three SFs; these pin the structural
+  * invariants each operator's 100 TB story rests on.
+  */
+class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("wave8-spec")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def executedPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  // ---- q165: KMV sketch set algebra ----------------------------------
+
+  test("KmvMinK state is bounded by k and mergeable (sketch of union == " +
+    "merge of sketches)") {
+    val k = 8
+    val agg = new KmvMinK(k)
+    val xs = (1L to 1000L).map(x => x * 2654435761L % 104729L)
+    val ys = (500L to 1500L).map(x => x * 2654435761L % 104729L)
+    def sketch(vs: Seq[Long]) = vs.foldLeft(agg.zero)(agg.reduce)
+    val sx = sketch(xs)
+    val sy = sketch(ys)
+    assert(sx.length <= k && sy.length <= k)
+    assert(sx.sorted.sameElements(sx), "state stays sorted")
+    // mergeability: merging the two per-partition sketches equals
+    // sketching the concatenated stream — the property that lets the
+    // aggregator map-side combine
+    assert(agg.merge(sx.clone(), sy.clone()).sameElements(sketch(xs ++ ys)))
+    // the retained values are exactly the k smallest distinct
+    assert(sketch(xs ++ ys).sameElements((xs ++ ys).distinct.sorted.take(k)))
+  }
+
+  test("q165: union estimate is within 3/sqrt(k) of the exact distinct " +
+    "union, and identical sources give jaccard_ppm = 1e6") {
+    val rows = Wave8Ops.queries("q165_kmv_set_ops")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exact per-pair distinct shingle union, recomputed from scratch
+    val docs = graft.Tables.table(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val shingles: Map[String, Set[String]] = docs.groupBy(_._1).map {
+      case (src, ds) =>
+        src -> ds.flatMap { case (_, t) =>
+          val toks = t.toLowerCase.split(" ").filter(_.nonEmpty)
+          toks.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        }.toSet
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val exact = (shingles(a) ++ shingles(b)).size.toDouble
+      val est = r.getAs[Long]("union_est").toDouble
+      // KMV standard error is ~1/sqrt(k-2); allow 3 sigma at k=64
+      assert(math.abs(est - exact) / exact < 3.0 / math.sqrt(62.0),
+        s"pair ($a,$b): est $est vs exact $exact")
+    }
+    rows.foreach { r =>
+      val j = r.getAs[Long]("jaccard_ppm")
+      assert(j >= 0 && j <= 1000000)
+      assert(r.getAs[Long]("inter_est") <= r.getAs[Long]("union_est"))
+    }
+  }
+
+  // ---- q166: hard-negative mining ------------------------------------
+
+  test("q166: top-3 per anchor, never the anchor's own label, plan keeps " +
+    "the corpus un-shuffled (broadcast anchors + window group limit)") {
+    val df = graft.SparkEntry.queries("q166_hard_negatives")(spark, sf)
+    val got = df.collect()
+    val labels = graft.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[Long]("a_id")).foreach { case (aId, g) =>
+      assert(g.length == 3, s"anchor $aId should have exactly 3 negatives")
+      assert(g.map(_.getAs[Int]("rank")).sorted.sameElements(Array(1, 2, 3)))
+      g.foreach { r =>
+        assert(labels(r.getAs[Long]("neg_id")) != labels(aId),
+          "a hard negative must come from a different label")
+      }
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "anchors must broadcast — the corpus side is never shuffled for the join")
+    assert(plan.contains("WindowGroupLimit"),
+      "row_number<=3 must plan a group-limit so the rank exchange is bounded")
+  }
+
+  // ---- q168/q169: subquery decorrelation -----------------------------
+
+  test("q168/q169: Catalyst decorrelates both subqueries — no nested-loop " +
+    "join, no per-row re-execution") {
+    for (q <- Seq("q168_exists_subquery", "q169_scalar_subquery")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must decorrelate to a hash join, got:\n$plan")
+      assert(!plan.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q169 equals the explicit pre-aggregate-and-join formulation") {
+    val got = graft.SparkEntry.queries("q169_scalar_subquery")(spark, sf)
+      .collect().head
+    val li = graft.Tables.table(spark, sf, "lineitem")
+    val part = graft.Tables.table(spark, sf, "part")
+    val avgs = li.groupBy(col("l_partkey").as("pk"))
+      .agg(avg("l_quantity").as("avg_q"))
+    val want = li.join(part, col("p_partkey") === col("l_partkey"))
+      .filter(col("p_brand") === "Brand#12")
+      .join(avgs, col("pk") === col("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
+      .agg(count(lit(1)).as("n_small"),
+        sum("l_quantity").cast("long").as("sum_qty"))
+      .collect().head
+    assert(got.getAs[Long]("n_small") == want.getAs[Long]("n_small"))
+    assert(got.getAs[Long]("sum_qty") == want.getAs[Long]("sum_qty"))
+  }
+
+  // ---- q170: URL canonicalization ------------------------------------
+
+  test("q170: all four raw variants of an item collapse to one canonical " +
+    "URL with no tracking params, ports, fragments or trailing slashes") {
+    val rows = Wave8Ops.queries("q170_url_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[String]("canon_url")
+      assert(u.startsWith("https://shop.example.com/item/"), u)
+      assert(!u.contains("utm_") && !u.contains("#") && !u.contains(":443"))
+      assert(!u.endsWith("/"), s"trailing slash survived: $u")
+    }
+    // orderkeys form contiguous runs of 4 per item except at range ends,
+    // so the modal group size must be 4 and no group exceeds 4
+    val sizes = rows.map(_.getAs[Long]("n_raw"))
+    assert(sizes.max <= 4)
+    assert(sizes.count(_ == 4) > rows.length / 2)
+    // keeper is the smallest orderkey of the group by construction
+    val byCanon = rows.map(r =>
+      r.getAs[String]("canon_url") -> r.getAs[Long]("keeper")).toMap
+    val o = graft.Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val expectKeeper = o.groupBy(_ / 4).map { case (item, ks) =>
+      s"https://shop.example.com/item/$item" -> ks.min
+    }
+    expectKeeper.foreach { case (canon, keep) =>
+      assert(byCanon(canon) == keep, s"$canon keeper")
+    }
+  }
+
+  // ---- q171: paired-modality gate ------------------------------------
+
+  test("q171: clip_score is the cosine of the vec and its XOR-1 partner, " +
+    "and every emitted row clears the threshold") {
+    val rows = graft.SparkEntry.queries("q171_clip_gate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vecs = graft.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val score = r.getAs[Double]("clip_score")
+      assert(score >= 0.05)
+      val want = cos(vecs(v), vecs(v ^ 1L))
+      assert(math.abs(score - want) < 1e-6 + 1e-9,
+        s"vec $v: $score vs recomputed $want")
+    }
+  }
+}

@@ -54,6 +54,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("stream-stream left outer: matched rows == batch interval join, " +
+    "null rows only for watermark-evicted unmatched clicks") {
+    val rows = StreamingOps.streamLeftOuter(spark, sf).collect()
+    val matched = rows.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inner = StreamingOps.streamStreamJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matched == inner, "outer join must contain exactly the inner matches")
+
+    // null rows: unmatched AND evictable — click_sec + 1h (join range)
+    // behind the global watermark (min of both sides' max sec − 1h delay)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wm = math.min(clicks.map(_._3).max, purchases.map(_._2).max) - 3600
+    val expectNull = clicks.filter { case (u, _, s) =>
+      s + 3600 < wm &&
+        !purchases.exists { case (pu, ps) => pu == u && ps >= s && ps <= s + 3600 }
+    }.map { case (u, c, _) => (u, c) }.toSet
+    val gotNull = rows.filter(_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotNull == expectNull,
+      s"evicted-unmatched set mismatch: got ${gotNull.size}, want ${expectNull.size}")
+    assert(gotNull.nonEmpty, "the sf0.001 stream must exercise the outer path")
+  }
+
   test("streaming near-dup index == batch band aggregation") {
     val streamed = StreamingOps.streamNeardupIndex(spark, sf)
       .collect().map(_.toSeq).toSet
