@@ -42,6 +42,9 @@ object Wave8Ops {
   /** Sketch size: estimates are ±~1/√k; 64 matches q60's KMV. */
   private val K = 64
 
+  /** Span length for the exact-substring dedup pass (q172). */
+  private val SpanLen = 5
+
   val queries: Map[String, Q] = Map(
     // ---- q165: KMV sketch set algebra across sources -------------------
     // Per-source sketch = the K smallest 52-bit md5 hashes of the
@@ -126,6 +129,71 @@ object Wave8Ops {
       raw.select(canon.as("canon_url"), col("o_orderkey"))
         .groupBy("canon_url")
         .agg(count(lit(1)).as("n_raw"), min("o_orderkey").as("keeper"))
+    }),
+
+    // ---- q172: exact-substring dedup APPLY (Lee et al. 2022) -----------
+    // "Deduplicating Training Data Makes Language Models Better": q100
+    // FINDS cross-document duplicated 5-token spans; this op REMOVES
+    // them — every token position covered by any span that also occurs
+    // in another document is cut, and the surviving tokens are
+    // reassembled in order into the cleaned text. Scale shape: one
+    // shuffle on the span key to find duplicated spans (map-side
+    // combined count-distinct), the covered-position set is bounded by
+    // actually-duplicated spans (not the corpus), and reassembly is one
+    // per-doc aggregation. Nothing is ever all-pairs; the reference
+    // suffix-array formulation is a single-node algorithm — this is
+    // its shuffle-native equivalent.
+    "q172_exactsubstr_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), words(col("text")).as("tokens"))
+      val spans = docs.filter(size(col("tokens")) >= SpanLen)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, size(tokens) - $SpanLen),
+              i -> concat_ws(' ', slice(tokens, i + 1, $SpanLen)))"""))
+          .as(Seq("p", "span")))
+      val dup = spans.groupBy("span")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+        .select("span")
+      val covered = spans.join(dup, Seq("span"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + (SpanLen - 1))).as("pos"))
+        .distinct()
+      val toks = docs.select(col("doc_id"),
+        posexplode(col("tokens")).as(Seq("pos", "tok")))
+      val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("pos"), col("tok"))).as("pt"),
+          count(lit(1)).as("n_kept"))
+        .select(col("doc_id"),
+          expr("concat_ws(' ', transform(array_sort(pt), x -> x.tok))")
+            .as("clean_text"),
+          col("n_kept"))
+      docs.select(col("doc_id"), size(col("tokens")).cast("long").as("n_toks"))
+        .join(kept, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    }),
+
+    // ---- q173: time-RANGE window frames --------------------------------
+    // Trailing-one-hour per-user activity at every event — RANGE frames
+    // bound by the ORDER-BY VALUE (sec−3599 .. sec), not a row count:
+    // the feature q141's ROWS frames cannot express when event density
+    // varies. Peer rows (equal sec) share a frame, so the result is
+    // deterministic without a unique tie-break. One user_id shuffle;
+    // frame state is O(events in the hour), independent of corpus size.
+    "q173_range_frame" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-3599L, org.apache.spark.sql.expressions.Window.currentRow)
+      table(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("sec"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum("cents").over(w))
+        .select("event_id", "user_id", "sec", "n_1h", "cents_1h")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -201,5 +269,51 @@ object Wave8Ops {
                    '[?&]$', '') AS clean
                FROM urls)))
          SELECT canon_url, count(*) AS n_raw, min(o_orderkey) AS keeper
-         FROM canon GROUP BY canon_url""")
+         FROM canon GROUP BY canon_url""",
+    "q172_exactsubstr_dedup" ->
+      """WITH docs AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+           FROM documents),
+         spans AS (
+           SELECT doc_id, p,
+             array_to_string(list_slice(tokens, p + 1, p + 5), ' ') AS span
+           FROM (SELECT doc_id, tokens,
+                   unnest(range(0, len(tokens) - 4)) AS p
+                 FROM docs WHERE len(tokens) >= 5)),
+         dup AS (
+           SELECT span FROM spans
+           GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (
+           SELECT DISTINCT doc_id, pos FROM (
+             SELECT doc_id, unnest(range(p, p + 5)) AS pos
+             FROM spans WHERE span IN (SELECT span FROM dup))),
+         tok AS (
+           SELECT doc_id, pos, tokens[pos + 1] AS tok FROM (
+             SELECT doc_id, tokens, unnest(range(0, len(tokens))) AS pos
+             FROM docs)),
+         kept AS (
+           SELECT t.doc_id, t.pos, t.tok
+           FROM tok t
+           WHERE NOT EXISTS (SELECT 1 FROM cov c
+                             WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         agg AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_kept, 0) AS n_kept,
+           len(d.tokens) - coalesce(a.n_kept, 0) AS n_removed
+         FROM docs d LEFT JOIN agg a USING (doc_id)""",
+    "q173_range_frame" ->
+      """SELECT event_id, user_id, sec,
+           count(*) OVER w AS n_1h,
+           CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+         FROM (SELECT event_id, user_id,
+                 epoch_ns(ts) // 1000000000 AS sec,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""")
 }

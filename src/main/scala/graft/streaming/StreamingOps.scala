@@ -119,6 +119,24 @@ object StreamingOps {
     runToTable(joined, "append")
   }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * keeps a key's state only until the watermark passes its event
+    * time + delay, so state is bounded by the watermark horizon — the
+    * production posture for an unbounded stream, where q53's plain
+    * `dropDuplicates` grows state forever. The semantic trade: only
+    * duplicates arriving within the watermark window of each other are
+    * guaranteed dropped. Over an AvailableNow drain of a static file
+    * every duplicate shares the single batch, so the result equals the
+    * batch DISTINCT — the oracle. */
+  def streamingDedupBounded(s: SparkSession, dir: String): DataFrame = {
+    val deduped = streamEvents(s, dir)
+      .withColumn("etime", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("etime", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    runToTable(deduped, "append")
+  }
+
   /** Stream-stream LEFT OUTER join with watermarks — q66's attribution
     * join plus the rows q66 drops: clicks that led to NO purchase
     * within the hour (the abandonment signal). Outer emission is
@@ -223,6 +241,7 @@ object StreamingOps {
     "q53_stream_dedup" -> ((s, d) => streamingDedup(s, d)),
     "q66_stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "q167_stream_left_outer" -> ((s, d) => streamLeftOuter(s, d)),
+    "q174_stream_dedup_bounded" -> ((s, d) => streamingDedupBounded(s, d)),
     "q67_session_window" -> ((s, d) => sessionWindowAgg(s, d)),
     "q91_stream_enrich" -> ((s, d) => streamStaticEnrich(s, d)),
     "q107_stream_neardup_index" -> ((s, d) => streamNeardupIndex(s, d)),
@@ -245,6 +264,10 @@ object StreamingOps {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q53_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // Same distinct: over an AvailableNow drain every duplicate lands in
+    // one batch, so within-watermark dedup == global dedup (see scaladoc).
+    "q174_stream_dedup_bounded" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // Stream == batch: the enrichment join over a static stream input.
     "q91_stream_enrich" ->

@@ -174,6 +174,63 @@ class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- q172: exact-substring dedup apply -----------------------------
+
+  test("q172: cleaned text is exactly the tokens not covered by any " +
+    "cross-document duplicated 5-token span, in order") {
+    val rows = Wave8Ops.queries("q172_exactsubstr_dedup")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"))).toMap
+    val docs = graft.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toVector)
+      .toMap
+    // from-scratch recompute: span -> set of docs; covered positions
+    val spanDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, toks) =>
+      toks.sliding(5).filter(_.length == 5).map(_.mkString(" "))
+        .foreach(sp => spanDocs(sp) = spanDocs.getOrElse(sp, Set.empty) + id)
+    }
+    val dup = spanDocs.filter(_._2.size >= 2).keySet
+    docs.foreach { case (id, toks) =>
+      val covered = Array.fill(toks.length)(false)
+      (0 to toks.length - 5).foreach { p =>
+        if (dup.contains(toks.slice(p, p + 5).mkString(" ")))
+          (p until p + 5).foreach(covered(_) = true)
+      }
+      val keptToks = toks.zipWithIndex.collect {
+        case (t, i) if !covered(i) => t
+      }
+      val (cleanText, nKept, nRemoved) = rows(id)
+      assert(cleanText == keptToks.mkString(" "), s"doc $id text")
+      assert(nKept == keptToks.length.toLong, s"doc $id n_kept")
+      assert(nKept + nRemoved == toks.length.toLong, s"doc $id balance")
+    }
+    // the pass must actually remove something on this corpus
+    assert(rows.values.exists(_._3 > 0))
+  }
+
+  // ---- q173: time-range window frames --------------------------------
+
+  test("q173: n_1h/cents_1h equal a per-user replay of the trailing " +
+    "3600-second value frame (peers included)") {
+    val got = Wave8Ops.queries("q173_range_frame")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byUser = got.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rows) =>
+      val evs = rows.map(r => (r.getAs[Long]("sec"),
+        r.getAs[Long]("event_id"))).sortBy(identity)
+      rows.foreach { r =>
+        val sec = r.getAs[Long]("sec")
+        val inFrame = evs.filter(e => e._1 >= sec - 3599 && e._1 <= sec)
+        assert(r.getAs[Long]("n_1h") == inFrame.length.toLong,
+          s"event ${r.getAs[Long]("event_id")}")
+      }
+    }
+  }
+
   // ---- q171: paired-modality gate ------------------------------------
 
   test("q171: clip_score is the cosine of the vec and its XOR-1 partner, " +

@@ -54,6 +54,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("bounded-state dedup (dropDuplicatesWithinWatermark) == batch " +
+    "distinct over a single-batch drain") {
+    val streamed = StreamingOps.streamingDedupBounded(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream left outer: matched rows == batch interval join, " +
     "null rows only for watermark-evicted unmatched clicks") {
     val rows = StreamingOps.streamLeftOuter(spark, sf).collect()
