@@ -176,6 +176,63 @@ object Wave8Ops {
           (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
     }),
 
+    // ---- q175: fuzzy join (edit distance ≤ 1) via deletion variants ----
+    // FastSS (Bocek et al. 2007): two strings with ed ≤ 1 must share a
+    // member of each other's deletion neighborhood {s} ∪ {s minus one
+    // char}, so the candidate stage is an EQUI-join on the variant key
+    // — O(len) variants per string, bucket sizes bounded by how many
+    // strings are genuinely one edit apart (never all-pairs). Exact
+    // levenshtein runs only on candidates (deletion collisions at
+    // different positions can be ed 2 — e.g. "ab"/"ba" share "a" — so
+    // the verify step is required, same candidates-then-verify
+    // discipline as q84). The id%10 subset stands in for the "suspect
+    // slice" a production fuzzy-dedup pass would feed it.
+    "q175_fuzzy_join" -> ((s, d) => {
+      val c = table(s, d, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("id"), lower(col("c_name")).as("nm"))
+      val variants = c.select(col("id"), col("nm"), explode(expr(
+        """array_union(array(nm), transform(sequence(1, length(nm)),
+           i -> concat(substring(nm, 1, i - 1),
+                       substring(nm, i + 1, length(nm) - i))))"""
+        )).as("variant"))
+      val a = variants.select(col("variant"), col("id").as("a_id"),
+        col("nm").as("a_nm"))
+      val b = variants.select(col("variant"), col("id").as("b_id"),
+        col("nm").as("b_nm"))
+      a.join(b, "variant").filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "a_nm", "b_nm").distinct()
+        .filter(levenshtein(col("a_nm"), col("b_nm")) <= 1)
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_nm"), col("b_nm")).as("dist"))
+    }),
+
+    // ---- q176: per-group trend slope, integer-exact ---------------------
+    // Least-squares slope of daily revenue per event type — the drift /
+    // trend monitor over any keyed daily series. Emitted as the exact
+    // integer numerator and denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²)
+    // rather than a float slope: sums of integer cents and epoch-days
+    // are order-independent and engine-exact, so the driver hash-match
+    // proves the regression itself, not a rounding of it. Two shuffles
+    // (day rollup, then type rollup), both map-side combined; every
+    // magnitude is bounded by date-range·cents, well inside BIGINT.
+    "q176_trend_slope" -> ((s, d) => {
+      val daily = table(s, d, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .groupBy("event_type", "day").agg(sum("cents").as("y"))
+      daily.groupBy("event_type").agg(
+          count(lit(1)).as("n_days"),
+          sum(expr("day * y")).as("sxy"),
+          sum("day").as("sx"),
+          sum("y").as("sy"),
+          sum(expr("day * day")).as("sxx"))
+        .select(col("event_type"), col("n_days"),
+          expr("n_days * sxy - sx * sy").as("slope_num"),
+          expr("n_days * sxx - sx * sx").as("slope_den"))
+    }),
+
     // ---- q173: time-RANGE window frames --------------------------------
     // Trailing-one-hour per-user activity at every event — RANGE frames
     // bound by the ORDER-BY VALUE (sec−3599 .. sec), not a row count:
@@ -306,6 +363,31 @@ object Wave8Ops {
            coalesce(a.n_kept, 0) AS n_kept,
            len(d.tokens) - coalesce(a.n_kept, 0) AS n_removed
          FROM docs d LEFT JOIN agg a USING (doc_id)""",
+    "q175_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey AS id, lower(c_name) AS nm
+                    FROM customer WHERE c_custkey % 10 = 0)
+         SELECT a.id AS a_id, b.id AS b_id,
+           levenshtein(a.nm, b.nm) AS dist
+         FROM c a JOIN c b ON a.id < b.id
+         WHERE levenshtein(a.nm, b.nm) <= 1""",
+    "q176_trend_slope" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT event_type,
+             count(*) AS n_days,
+             CAST(sum(day * y) AS BIGINT) AS sxy,
+             CAST(sum(day) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(day * day) AS BIGINT) AS sxx
+           FROM daily GROUP BY event_type)
+         SELECT event_type, n_days,
+           n_days * sxy - sx * sy AS slope_num,
+           n_days * sxx - sx * sx AS slope_den
+         FROM s""",
     "q173_range_frame" ->
       """SELECT event_id, user_id, sec,
            count(*) OVER w AS n_1h,

@@ -231,6 +231,63 @@ class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- q175: FastSS fuzzy join ---------------------------------------
+
+  test("q175: deletion-neighborhood candidates find EXACTLY the brute-force " +
+    "edit-distance<=1 pairs (zero false negatives)") {
+    val got = Wave8Ops.queries("q175_fuzzy_join")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("dist"))).toSet
+    val names = graft.Tables.table(spark, sf, "customer")
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lower(col("c_name"))).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ai, an) <- names; (bi, bn) <- names if ai < bi
+      dd = lev(an, bn) if dd <= 1
+    } yield (ai, bi, dd)).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "the id%10 slice must contain one-edit pairs")
+  }
+
+  // ---- q176: integer least-squares trend -----------------------------
+
+  test("q176: slope_num/slope_den equal the exact integer least-squares " +
+    "sums over the recomputed daily series") {
+    val got = Wave8Ops.queries("q176_trend_slope")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("slope_num"),
+          r.getAs[Long]("slope_den"))).toMap
+    val daily = graft.Tables.table(spark, sf, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((tpe, day), rs) => (tpe, day, rs.map(_._3).sum) }
+      .toSeq.groupBy(_._1)
+    daily.foreach { case (tpe, ds) =>
+      val n = ds.length.toLong
+      val sx = ds.map(_._2).sum
+      val sy = ds.map(_._3).sum
+      val sxy = ds.map(t => t._2 * t._3).sum
+      val sxx = ds.map(t => t._2 * t._2).sum
+      val (gn, gnum, gden) = got(tpe)
+      assert(gn == n && gnum == n * sxy - sx * sy && gden == n * sxx - sx * sx,
+        s"event_type $tpe")
+      assert(gden > 0, "denominator must be positive for a multi-day series")
+    }
+  }
+
   // ---- q171: paired-modality gate ------------------------------------
 
   test("q171: clip_score is the cosine of the vec and its XOR-1 partner, " +
