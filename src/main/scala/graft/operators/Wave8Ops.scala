@@ -233,6 +233,53 @@ object Wave8Ops {
           expr("n_days * sxx - sx * sx").as("slope_den"))
     }),
 
+    // ---- q177: sweep-line peak concurrency -----------------------------
+    // Maximum simultaneous open intervals per day (each event held open
+    // 600 s) — the classic sweep line: +1/−1 boundary points, running
+    // sum over the GLOBAL time order, max per day. The global running
+    // sum is the distributed two-phase prefix sum (range partition →
+    // partition-local window → broadcast per-partition offsets), so no
+    // single-partition window ever sees the corpus — the same
+    // machinery as q93/q113/q116. Ends sort before starts at the same
+    // second (delta −1 < +1), giving half-open [s, e) semantics.
+    "q177_concurrency" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("event_id").as("eid"),
+          expr("ts div 1000000000").as("sec"))
+      val pts = ev.select(col("sec").as("t"), lit(1L).as("delta"), col("eid"))
+        .unionByName(ev.select((col("sec") + 600).as("t"),
+          lit(-1L).as("delta"), col("eid")))
+      TextOps.orderedCumsum(pts, Seq("t", "delta", "eid"), "delta", "conc")
+        .groupBy(expr("t div 86400").as("day"))
+        .agg(max("conc").as("peak"), count(lit(1)).as("n_points"))
+    }),
+
+    // ---- q178: bitmap index build + bitwise predicate algebra ----------
+    // Per-63-doc-block presence bitmaps for two predicates (lang = 'en';
+    // n_chars ≥ 300), built with bit_or(1 << doc_id%64) — one map-side-
+    // combined shuffle each, 1 long per block of 63 docs (bit 63 stays clear so the words are non-negative in engines that check signed shifts). Conjunction /
+    // disjunction counts then cost popcount(a & b) on the block frame —
+    // the bitmap-index trick serving layers use to answer multi-
+    // predicate counts without rescanning: at 100 TB the bitmaps are
+    // ~1/63rd the size of a doc-id list and AND/OR/NOT are word ops.
+    "q178_bitmap_index" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      def bitmap(pred: Column, name: String) = docs.filter(pred)
+        .select(expr("doc_id div 63").as("block"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 63 AS INT))")
+            .as("bit"))
+        .groupBy("block").agg(expr("bit_or(bit)").as(name))
+      bitmap(col("lang") === "en", "w_en")
+        .join(bitmap(col("n_chars") >= 300, "w_long"), Seq("block"),
+          "full_outer")
+        .select(col("block"),
+          coalesce(col("w_en"), lit(0L)).as("w_en"),
+          coalesce(col("w_long"), lit(0L)).as("w_long"))
+        .withColumn("n_en", expr("bit_count(w_en)").cast("long"))
+        .withColumn("n_and", expr("bit_count(w_en & w_long)").cast("long"))
+        .withColumn("n_or", expr("bit_count(w_en | w_long)").cast("long"))
+    }),
+
     // ---- q173: time-RANGE window frames --------------------------------
     // Trailing-one-hour per-user activity at every event — RANGE frames
     // bound by the ORDER-BY VALUE (sec−3599 .. sec), not a row count:
@@ -388,6 +435,41 @@ object Wave8Ops {
            n_days * sxy - sx * sy AS slope_num,
            n_days * sxx - sx * sx AS slope_den
          FROM s""",
+    "q177_concurrency" ->
+      """WITH pts AS (
+           SELECT epoch_ns(ts) // 1000000000 AS t, 1 AS delta,
+             event_id AS eid
+           FROM events
+           UNION ALL
+           SELECT epoch_ns(ts) // 1000000000 + 600, -1, event_id
+           FROM events),
+         cum AS (
+           SELECT t, CAST(sum(delta) OVER (ORDER BY t, delta, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS conc
+           FROM pts)
+         SELECT t // 86400 AS day, max(conc) AS peak, count(*) AS n_points
+         FROM cum GROUP BY 1""",
+    "q178_bitmap_index" ->
+      """WITH en AS (
+           SELECT doc_id // 63 AS block,
+             bit_or(CAST(1 AS BIGINT) << CAST(doc_id % 63 AS INTEGER))
+               AS w_en
+           FROM documents WHERE lang = 'en' GROUP BY 1),
+         lng AS (
+           SELECT doc_id // 63 AS block,
+             bit_or(CAST(1 AS BIGINT) << CAST(doc_id % 63 AS INTEGER))
+               AS w_long
+           FROM documents WHERE n_chars >= 300 GROUP BY 1)
+         SELECT block,
+           coalesce(w_en, 0) AS w_en,
+           coalesce(w_long, 0) AS w_long,
+           CAST(bit_count(coalesce(w_en, 0)) AS BIGINT) AS n_en,
+           CAST(bit_count(coalesce(w_en, 0) & coalesce(w_long, 0)) AS BIGINT)
+             AS n_and,
+           CAST(bit_count(coalesce(w_en, 0) | coalesce(w_long, 0)) AS BIGINT)
+             AS n_or
+         FROM en FULL OUTER JOIN lng USING (block)""",
     "q173_range_frame" ->
       """SELECT event_id, user_id, sec,
            count(*) OVER w AS n_1h,

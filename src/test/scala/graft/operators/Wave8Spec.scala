@@ -288,6 +288,53 @@ class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- q177: sweep-line concurrency ----------------------------------
+
+  test("q177: per-day peak equals a sequential sweep over the sorted " +
+    "boundary points") {
+    val got = Wave8Ops.queries("q177_concurrency")(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("peak")).toMap
+    val secs = graft.Tables.table(spark, sf, "events")
+      .select(col("event_id"), expr("ts div 1000000000").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pts = secs.flatMap { case (eid, s) =>
+      Seq((s, 1L, eid), (s + 600, -1L, eid))
+    }.sortBy(identity)
+    var conc = 0L
+    val peaks = scala.collection.mutable.Map.empty[Long, Long]
+    pts.foreach { case (t, d, _) =>
+      conc += d
+      val day = t / 86400
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), conc)
+    }
+    assert(got == peaks.toMap)
+    assert(got.values.max > 1, "the stream must actually overlap")
+  }
+
+  // ---- q178: bitmap index --------------------------------------------
+
+  test("q178: popcounts equal the direct predicate counts, per block and " +
+    "in total") {
+    val got = Wave8Ops.queries("q178_bitmap_index")(spark, sf).collect()
+    val docs = graft.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def blockOf(id: Long) = id / 63
+    val byBlock = docs.groupBy(t => blockOf(t._1))
+    got.foreach { r =>
+      val b = r.getAs[Long]("block")
+      val ds = byBlock.getOrElse(b, Array.empty[(Long, String, Long)])
+      assert(r.getAs[Long]("n_en") == ds.count(_._2 == "en").toLong)
+      assert(r.getAs[Long]("n_and") ==
+        ds.count(t => t._2 == "en" && t._3 >= 300).toLong)
+      assert(r.getAs[Long]("n_or") ==
+        ds.count(t => t._2 == "en" || t._3 >= 300).toLong)
+    }
+    // total conjunction over the bitmap frame == corpus-wide count
+    assert(got.map(_.getAs[Long]("n_and")).sum ==
+      docs.count(t => t._2 == "en" && t._3 >= 300).toLong)
+  }
+
   // ---- q171: paired-modality gate ------------------------------------
 
   test("q171: clip_score is the cosine of the vec and its XOR-1 partner, " +
