@@ -280,6 +280,32 @@ object Wave8Ops {
         .withColumn("n_or", expr("bit_count(w_en | w_long)").cast("long"))
     }),
 
+    // ---- q179: inverted-index build ------------------------------------
+    // The retrieval-index build shape: per-term segment statistics (df,
+    // cf, doc-id bounds) plus an ORDER-INDEPENDENT posting checksum —
+    // bit_xor of a 52-bit hash of every (doc, pos, term) posting. The
+    // checksum replaces collect_list-and-sort (which would materialize
+    // a stopword's full posting list in one aggregation buffer): XOR
+    // is commutative/associative, so it map-side combines and never
+    // holds more than 8 bytes per term, yet any lost/duplicated/moved
+    // posting flips it. One shuffle on the term key; a production
+    // writer would emit doc-id-sorted posting segments from the same
+    // exchange.
+    "q179_inverted_index" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), posexplode(words(col("text")))
+          .as(Seq("pos", "tok")))
+        .withColumn("hv", conv(substring(md5(concat_ws(":",
+          col("doc_id"), col("pos"), col("tok"))), 1, 13), 16, 10)
+          .cast("long"))
+        .groupBy("tok")
+        .agg(countDistinct("doc_id").as("df"),
+          count(lit(1)).as("cf"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"),
+          expr("bit_xor(hv)").as("postings_xor"))
+    }),
+
     // ---- q173: time-RANGE window frames --------------------------------
     // Trailing-one-hour per-user activity at every event — RANGE frames
     // bound by the ORDER-BY VALUE (sec−3599 .. sec), not a row count:
@@ -470,6 +496,25 @@ object Wave8Ops {
            CAST(bit_count(coalesce(w_en, 0) | coalesce(w_long, 0)) AS BIGINT)
              AS n_or
          FROM en FULL OUTER JOIN lng USING (block)""",
+    "q179_inverted_index" ->
+      """WITH docs AS (
+           SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS tokens
+           FROM documents),
+         tok AS (
+           SELECT doc_id, pos, tokens[pos + 1] AS tok
+           FROM (SELECT doc_id, tokens,
+                   unnest(range(0, len(tokens))) AS pos
+                 FROM docs)),
+         h AS (
+           SELECT tok, doc_id,
+             CAST(('0x' || substr(md5(doc_id || ':' || pos || ':' || tok),
+               1, 13)) AS BIGINT) AS hv
+           FROM tok)
+         SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS cf,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           bit_xor(hv) AS postings_xor
+         FROM h GROUP BY tok""",
     "q173_range_frame" ->
       """SELECT event_id, user_id, sec,
            count(*) OVER w AS n_1h,

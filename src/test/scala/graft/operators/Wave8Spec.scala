@@ -335,6 +335,43 @@ class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
       docs.count(t => t._2 == "en" && t._3 >= 300).toLong)
   }
 
+  // ---- q179: inverted-index build ------------------------------------
+
+  test("q179: df/cf/bounds/postings_xor equal a from-scratch index build, " +
+    "and the xor detects a posting perturbation") {
+    val got = Wave8Ops.queries("q179_inverted_index")(spark, sf).collect()
+      .map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("cf"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"),
+          r.getAs[Long]("postings_xor"))).toMap
+    val docs = graft.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)))
+    def hv(doc: Long, pos: Int, tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$doc:$pos:$tok".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(7).map("%02x".format(_)).mkString.take(13), 16)
+    }
+    val postings = docs.flatMap { case (id, toks) =>
+      toks.zipWithIndex.map { case (t, i) => (t, id, i) }
+    }
+    val want = postings.groupBy(_._1).map { case (t, ps) =>
+      t -> (ps.map(_._2).distinct.length.toLong, ps.length.toLong,
+        ps.map(_._2).min, ps.map(_._2).max,
+        ps.map(p => hv(p._2, p._3, p._1)).reduce(_ ^ _))
+    }
+    assert(got == want)
+    // perturbation sensitivity: moving one posting by one position
+    // changes the term's checksum
+    val (t0, ps0) = postings.groupBy(_._1).head
+    val orig = ps0.map(p => hv(p._2, p._3, p._1)).reduce(_ ^ _)
+    val moved = (ps0.head.copy(_3 = ps0.head._3 + 1) +: ps0.tail)
+      .map(p => hv(p._2, p._3, p._1)).reduce(_ ^ _)
+    assert(orig != moved, s"xor must be position-sensitive ($t0)")
+  }
+
   // ---- q171: paired-modality gate ------------------------------------
 
   test("q171: clip_score is the cosine of the vec and its XOR-1 partner, " +

@@ -63,6 +63,41 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq(9L), "the LAST row in tie-break order must win")
   }
 
+  test("fuzz: random frames with nulls, duplicate keys/times and tie-break " +
+    "collisions match an independent per-row reference") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      def maybe[T](v: T): Option[T] = if (rnd.nextInt(12) == 0) None else Some(v)
+      // small domains force key collisions, time ties and tie-break dups
+      val left = Seq.fill(200)((maybe(rnd.nextInt(8).toLong),
+        maybe(rnd.nextInt(40).toLong)))
+      val right = Seq.fill(200)((maybe(rnd.nextInt(8).toLong),
+        maybe(rnd.nextInt(40).toLong), rnd.nextInt(6).toLong))
+      val l = left.toDF("k", "t")
+      val r = right.toDF("k", "rt", "rid")
+      val got = AsOf.join(l, r, Seq("k"), "t", "rt", Seq("rid"))
+        .select("k", "t", "rt", "rid").collect()
+        .map(x => (Option(x.get(0)), Option(x.get(1)),
+          Option(x.get(2)), Option(x.get(3))))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // reference: for each left row, the right rows with the same
+      // NON-NULL key and rt <= t; survivor = max (rt, rid); null
+      // key/time on either side never matches
+      val want = left.map { case (k, t) =>
+        val m = (for {
+          kk <- k; tt <- t
+          best <- right.collect {
+            case (Some(rk), Some(rt), rid) if rk == kk && rt <= tt => (rt, rid)
+          }.sorted.lastOption
+        } yield best)
+        (k.map(Long.box), t.map(Long.box),
+          m.map(x => Long.box(x._1)), m.map(x => Long.box(x._2)))
+      }.groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("matches the compositional q70 window form on real events") {
     val native = graft.SparkEntry.queries("q114_asof_exec")(spark, sf)
       .select("user_id", "purchase_id", "click_id")
