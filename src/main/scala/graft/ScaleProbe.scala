@@ -381,6 +381,67 @@ object ScaleProbe {
             .as("canon_url"), col("o_orderkey"))
           .groupBy("canon_url")
           .agg(count(lit(1)).as("n_raw"), min("o_orderkey").as("keeper"))),
+      "exactsubstr_apply" -> (k => {
+        // q172 shape: duplicated-span discovery + covered-position cut +
+        // per-doc reassembly, with doc_ids shifted so span dup groups
+        // stay cross-copy (duplication rate constant as the corpus grows).
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        val docs = scaled("documents", k, "doc_id")
+          .select(col("doc_id"), toks.as("tokens"))
+        val spans = docs.filter(size(col("tokens")) >= 5)
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, size(tokens) - 5),
+               i -> concat_ws(' ', slice(tokens, i + 1, 5)))"""))
+            .as(Seq("p", "span")))
+        val dup = spans.groupBy("span")
+          .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+          .select("span")
+        val covered = spans.join(dup, Seq("span"), "left_semi")
+          .select(col("doc_id"),
+            explode(sequence(col("p"), col("p") + 4)).as("pos"))
+          .distinct()
+        docs.select(col("doc_id"), posexplode(col("tokens"))
+            .as(Seq("pos", "tok")))
+          .join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+      }),
+      "inverted_index" -> (k =>
+        // q179 shape: one term-key shuffle, 8-byte XOR state per term.
+        scaled("documents", k, "doc_id")
+          .select(col("doc_id"), posexplode(
+            filter(split(lower(col("text")), " "), w => w =!= ""))
+            .as(Seq("pos", "tok")))
+          .withColumn("hv", conv(substring(md5(concat_ws(":",
+            col("doc_id"), col("pos"), col("tok"))), 1, 13), 16, 10)
+            .cast("long"))
+          .groupBy("tok")
+          .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"),
+            expr("bit_xor(hv)").as("px"))),
+      "fuzzy_fastss" -> (k => {
+        // q175 shape: deletion-variant equi-join + levenshtein verify.
+        // The name is REBUILT from the shifted key (scaled() only shifts
+        // key columns): real corpus growth brings new distinct strings,
+        // and identical-name copies would densify every variant bucket
+        // quadratically — the classic hot-bucket trap the real operator
+        // avoids because genuine data has few exact-collision names.
+        val c = scaled("customer", k, "c_custkey")
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("id"),
+            format_string("customer#%09d", col("c_custkey")).as("nm"))
+        val variants = c.select(col("id"), col("nm"), explode(expr(
+          """array_union(array(nm), transform(sequence(1, length(nm)),
+             i -> concat(substring(nm, 1, i - 1),
+                         substring(nm, i + 1, length(nm) - i))))"""
+          )).as("variant"))
+        val a = variants.select(col("variant"), col("id").as("a_id"),
+          col("nm").as("a_nm"))
+        val b = variants.select(col("variant"), col("id").as("b_id"),
+          col("nm").as("b_nm"))
+        a.join(b, "variant").filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "a_nm", "b_nm").distinct()
+          .filter(levenshtein(col("a_nm"), col("b_nm")) <= 1)
+          .groupBy().agg(count(lit(1)).as("n_pairs"))
+      }),
       "label_blocked_cosine" -> (k => {
         graft.functions.GraftFunctions.register(spark)
         // labels shifted too: block sizes stay constant, total linear.
