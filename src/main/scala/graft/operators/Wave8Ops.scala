@@ -306,6 +306,61 @@ object Wave8Ops {
           expr("bit_xor(hv)").as("postings_xor"))
     }),
 
+    // ---- q180: temporal dimension join (as-of on validity versions) ----
+    // The SCD2 lookup every fact pipeline needs: each order joined to
+    // the rate-card version in force on its order date. Runs through
+    // the engine's NATIVE AsOfJoinExec (plans/AsOfJoin.scala) — fact
+    // side hash-partitioned on the segment key, dimension side tiny —
+    // proving the custom operator composes as a general temporal-join
+    // primitive, not just event attribution (q114/q129). The versioned
+    // dim is synthesized deterministically (3 versions per segment,
+    // md5-derived basis-point rates) so the DuckDB native ASOF JOIN
+    // oracle can rebuild it bit-for-bit.
+    "q180_temporal_join" -> ((s, d) => {
+      val segs = table(s, d, "customer")
+        .select(col("c_mktsegment").as("seg")).distinct()
+      val rates = segs
+        .select(col("seg"), explode(expr("sequence(0, 2)")).as("ver"))
+        .withColumn("valid_from",
+          expr("make_timestamp_ntz(1995 + ver * 2, 1, 1, 0, 0, 0)"))
+        .withColumn("rate_bp",
+          conv(substring(md5(concat(col("seg"), col("ver"))), 1, 4), 16, 10)
+            .cast("long") % 500 + 100)
+      val facts = table(s, d, "orders")
+        .join(table(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("c_mktsegment").as("seg"))
+      graft.plans.AsOf.join(facts, rates, Seq("seg"),
+          leftTime = "o_orderdate", rightTime = "valid_from",
+          tieBreak = Seq("ver"))
+        .groupBy("seg", "ver", "rate_bp")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- q181: exact median via value-domain histogram -----------------
+    // Exact (lower) median per group WITHOUT sorting the corpus: one
+    // map-side-combined shuffle builds the (group, value) → count
+    // histogram, then the running sum and the median pick run over
+    // frames bounded by |value domain| (≤50 quantities here), not row
+    // count. The standard exact-order-statistic move when the domain
+    // is small — at 100 TB the per-group window never sees more rows
+    // than distinct values.
+    "q181_exact_median" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("q")
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(wAll))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy("l_returnflag")
+        .agg(min("q").as("median_lo"), min("n").as("n_rows"))
+    }),
+
     // ---- q173: time-RANGE window frames --------------------------------
     // Trailing-one-hour per-user activity at every event — RANGE frames
     // bound by the ORDER-BY VALUE (sec−3599 .. sec), not a row count:
@@ -515,6 +570,36 @@ object Wave8Ops {
            min(doc_id) AS first_doc, max(doc_id) AS last_doc,
            bit_xor(hv) AS postings_xor
          FROM h GROUP BY tok""",
+    "q180_temporal_join" ->
+      """WITH segs AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+         rates AS (
+           SELECT seg, CAST(v AS INTEGER) AS ver,
+             make_timestamp(CAST(1995 + v * 2 AS BIGINT), 1, 1, 0, 0, 0)
+               AS valid_from,
+             CAST(('0x' || substr(md5(seg || v), 1, 4)) AS BIGINT) % 500
+               + 100 AS rate_bp
+           FROM segs, range(3) t(v)),
+         facts AS (
+           SELECT o_orderkey, o_orderdate, c_mktsegment AS seg
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         SELECT f.seg, r.ver, r.rate_bp, count(*) AS n_orders
+         FROM facts f
+         ASOF LEFT JOIN rates r
+           ON f.seg = r.seg AND f.o_orderdate >= r.valid_from
+         GROUP BY 1, 2, 3""",
+    "q181_exact_median" ->
+      """WITH c AS (
+           SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (
+           SELECT l_returnflag, q,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY q) AS cum,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+           FROM c)
+         SELECT l_returnflag, min(q) AS median_lo,
+           CAST(min(n) AS BIGINT) AS n_rows
+         FROM cum WHERE 2 * cum >= n GROUP BY 1""",
     "q173_range_frame" ->
       """SELECT event_id, user_id, sec,
            count(*) OVER w AS n_1h,

@@ -25,6 +25,7 @@ class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .appName("wave8-spec")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     graft.functions.GraftFunctions.register(s)
     s
@@ -370,6 +371,47 @@ class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
     val moved = (ps0.head.copy(_3 = ps0.head._3 + 1) +: ps0.tail)
       .map(p => hv(p._2, p._3, p._1)).reduce(_ ^ _)
     assert(orig != moved, s"xor must be position-sensitive ($t0)")
+  }
+
+  // ---- q180: temporal dimension join ---------------------------------
+
+  test("q180: plans through the native AsOfJoinExec and matches an " +
+    "explicit latest-version-in-force recompute") {
+    val df = Wave8Ops.queries("q180_temporal_join")(spark, sf)
+    val got = df.collect().map(r => (r.getAs[String]("seg"),
+      r.getAs[Int]("ver"), r.getAs[Long]("n_orders"))).toSet
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "the temporal join must run through the custom physical operator")
+    // recompute: version in force = max ver with 1995+2*ver <= order year
+    val facts = graft.Tables.table(spark, sf, "orders")
+      .join(graft.Tables.table(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), year(col("o_orderdate"))).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val want = facts.map { case (seg, y) =>
+      (seg, math.min(2, (y - 1995) / 2))
+    }.groupBy(identity).map { case ((seg, ver), g) =>
+      (seg, ver, g.length.toLong)
+    }.toSet
+    assert(got == want)
+    assert(got.map(_._2).toSeq.distinct.sorted == Seq(0, 1, 2),
+      "all three dim versions must be exercised")
+  }
+
+  // ---- q181: exact median --------------------------------------------
+
+  test("q181: histogram median equals the sort-based lower median") {
+    val got = Wave8Ops.queries("q181_exact_median")(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("median_lo"), r.getAs[Long]("n_rows"))).toMap
+    val rows = graft.Tables.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      val sorted = g.map(_._2).sorted
+      val lower = sorted((sorted.length + 1) / 2 - 1)
+      assert(got(flag) == (lower, sorted.length.toLong), s"flag $flag")
+    }
   }
 
   // ---- q171: paired-modality gate ------------------------------------
