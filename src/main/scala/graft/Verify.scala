@@ -16,19 +16,6 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // Drop caches left by queries that persist() intermediates, so
-      // resident cached data can't accumulate across the 100+ queries,
-      // and force GC so shuffle/broadcast cleanup drains in small steps
-      // instead of one storm (see the matching note in Bench).
-      spark.sharedState.cacheManager.clearCache()
-      System.gc()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,6 +28,27 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A throwing query must surface as a RED row, not a missing one:
+        // round 4 lost 12 queries from the gate's denominator because the
+        // failure only went to stderr. The .ERROR.json artifact gives the
+        // driver (and any human reading outDir) a per-query failure record,
+        // and no result directory exists so a hash-compare can't pass.
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        Files.writeString(Paths.get(s"$outDir/$name.ERROR.json"),
+          s"""{"query": ${q(s"$name.parquet")}, "error": ${q(msg.take(2000))}}""")
+      }
+      // Drop caches left by queries that persist() intermediates, so
+      // resident cached data can't accumulate across the 100+ queries,
+      // and force GC so shuffle/broadcast cleanup drains in small steps
+      // instead of one storm (see the matching note in Bench).
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
     // Emit every oracle under BOTH the bare query name and the
     // result-directory name ("<name>.parquet"): the driver keys its
     // lookup by directory name, local tooling by bare name. Dual keys

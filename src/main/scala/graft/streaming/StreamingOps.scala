@@ -25,22 +25,25 @@ object StreamingOps {
 
   private val seq = new AtomicInteger()
 
-  /** events schema — ts read as nanosecond long
-    * (spark.sql.legacy.parquet.nanosAsLong, see Tables.table). */
+  /** events read schema — ts is parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), i.e. Spark TIMESTAMP_NTZ. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Stream of events with `ts` canonicalized to ns-since-epoch long at
+    * the source (same boundary conversion as `Tables.normalizeEventTs`),
+    * so every event-time derivation downstream is exact integer math. */
   def streamEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file source wants a directory; select the single events file
     // via a glob filter.
     s.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", graft.Tables.tsToNanos(col("ts")))
   }
 
   /** Drain a streaming DataFrame into an in-memory table with

@@ -31,8 +31,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamed = StreamingOps.windowedAgg(spark, sf)
       .collect().map(_.toSeq).toSet
     val nsPerHour = 3600L * 1000 * 1000 * 1000
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$sf/events.parquet")
+    val batch = graft.Tables.table(spark, sf, "events")
       .withColumn("hour", date_format(
         timestamp_seconds(expr(s"ts div $nsPerHour") * 3600L),
         "yyyy-MM-dd HH:mm:ss"))
@@ -75,8 +74,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // null rows: unmatched AND evictable — click_sec + 1h (join range)
     // behind the global watermark (min of both sides' max sec − 1h delay)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.table(spark, sf, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000000000").as("sec"))
     val clicks = ev.filter(col("event_type") === "click")
