@@ -129,7 +129,11 @@ object WikitextOps {
     // each synthetic page's rev2 shows its <ref> and its standalone URL
     // → exactly one inline + one other citation per document ----------
     "q74_current_citations" -> ((s, d) => {
-      val t = dedupedTables(s, d)
+      // staged parquet, not a fresh extraction: q74 measures the report
+      // JOIN shape; the pipeline itself is q45's job (r4 bench charged
+      // q74 ~18 s of re-extraction because typed-flatMap plans don't
+      // cache-key across separately built Dataset instances)
+      val t = staged(s, d)
       CitationQueries.currentCitationsReport(
         t("citation_instances"), t("normalized_citations"),
         t("citation_histories"), t("revisions"))
