@@ -62,20 +62,25 @@ object WikitextOps {
   private val stagedTableNames = Seq("citation_instances",
     "normalized_citations", "citation_histories", "revisions")
 
-  /** sf-keyed staging root: one Verify/Bench run = one sf, and local
-    * sf0.001 runs can't clobber the driver's sf0.01 staging. */
-  def stageRoot(d: String): String =
-    s"/tmp/graft_stage/${new java.io.File(d).getName}"
+  /** sf-keyed staging root — /tmp on this single-host harness (the
+    * driver's DuckDB compare runs on the same machine); deployments where
+    * the comparing process can't see /tmp can redirect it with the
+    * `graft.stage.dir` system property. Keyed by sf name so a local
+    * sf0.001 run can't clobber the driver's sf0.01 staging. */
+  def stageRoot(d: String): String = {
+    val base = sys.props.getOrElse("graft.stage.dir", "/tmp/graft_stage")
+    s"$base/${new java.io.File(d).getName}"
+  }
 
-  /** Last staged sf name; `oracle` (a def, re-evaluated when Verify dumps
+  /** Last staged root; `oracle` (a def, re-evaluated when Verify dumps
     * oracle_sql.json AFTER running the queries) points DuckDB at it. */
-  @volatile private var stagedSf: String = "sf0.01"
+  @volatile private var stagedRoot: String = "/tmp/graft_stage/sf0.01"
   private var stagedDirs: Set[String] = Set.empty
 
   private def staged(s: SparkSession, d: String): Map[String, DataFrame] =
     synchronized {
       val root = stageRoot(d)
-      stagedSf = new java.io.File(d).getName
+      stagedRoot = root
       if (!stagedDirs.contains(root)) { // once per JVM; never reused across
         val t = dedupedTables(s, d)     // runs, so regenerated testdata can't
         stagedTableNames.foreach { n => // leave stale staging behind
@@ -160,7 +165,7 @@ object WikitextOps {
     * (after the queries ran and staged their tables), so the staged-table
     * paths always name the sf of THIS run. */
   def oracle: Map[String, String] = {
-    def p(n: String) = s"'/tmp/graft_stage/$stagedSf/$n.parquet/*.parquet'"
+    def p(n: String) = s"'$stagedRoot/$n.parquet/*.parquet'"
     Map(
     // §3.2 citations_at_revision re-expressed as plain SQL over the
     // staged tables: same timeline window, history stats, presence semi
