@@ -566,34 +566,40 @@ object ScaleProbe {
         // near-dup of every other — output itself would be O(k²),
         // which is an OUTPUT property, not an operator defect.)
         val t5 = 4
-        val sets = scaled("documents", k, "doc_id")
+        val docs = scaled("documents", k, "doc_id")
           .withColumn("cp", (col("doc_id") / Offset).cast("long"))
           .filter(pmod(col("doc_id"), lit(7)) === 0)
-          .select(col("doc_id"), col("cp"),
-            explode(filter(split(lower(col("text")), " "), w => w =!= ""))
-              .as("tok0"))
           .select(col("doc_id"),
-            concat(col("tok0"), lit("_"), col("cp")).as("tok"))
-          .distinct()
-        val freq = sets.groupBy("tok").agg(count(lit(1)).as("df"))
-        val ranked = sets.join(freq, "tok")
-          .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
-            .orderBy(col("df").asc, col("tok").asc)))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        val prefix = ranked
-          .filter(col("rank") <= col("n") - expr(s"(n * $t5 + 4) div 5") + 1)
-          .select(col("tok"), col("doc_id"), col("n"))
+            expr("array_distinct(transform(" +
+              "filter(split(lower(text), ' '), w -> w != ''), " +
+              "t -> concat(t, '_', cp)))").as("toks"))
+        val freq = docs.select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val sorted = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .join(freq, "tok")
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+            .as("ranked"))
+          .select(col("doc_id"),
+            expr("transform(ranked, r -> r.tok)").as("toks"),
+            size(col("ranked")).as("n"))
+        val prefix = sorted.select(col("doc_id"), col("n"),
+          explode(expr(s"slice(toks, 1, n - (n * $t5 + 4) div 5 + 1)"))
+            .as("tok"))
         val cand = prefix.as("a").join(prefix.as("b"), Seq("tok"))
           .filter(col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("a.n").as("na"),
             col("b.doc_id").as("b_id"), col("b.n").as("nb"))
           .distinct()
-        cand.join(sets.select(col("doc_id").as("a_id"), col("tok")), "a_id")
-          .join(sets.select(col("doc_id").as("b_id"), col("tok")),
-            Seq("b_id", "tok"))
-          .groupBy("a_id", "b_id", "na", "nb")
-          .agg(count(lit(1)).as("inter"))
-          .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * t5)
+        cand
+          .join(sorted.select(col("doc_id").as("a_id"),
+            col("toks").as("a_toks")), "a_id")
+          .join(sorted.select(col("doc_id").as("b_id"),
+            col("toks").as("b_toks")), "b_id")
+          .withColumn("inter",
+            size(array_intersect(col("a_toks"), col("b_toks"))).cast("long"))
+          .filter(col("inter") * 5 >=
+            (col("na") + col("nb") - col("inter")) * t5)
       }),
       "bucketed_decontam" -> (k => {
         // q164 shape scaled the production way: the benchmark side
