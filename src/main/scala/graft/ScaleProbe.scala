@@ -601,6 +601,18 @@ object ScaleProbe {
           .filter(col("inter") * 5 >=
             (col("na") + col("nb") - col("inter")) * t5)
       }),
+      "suffix_array" -> (k => {
+        // q182 shape, content-scaled: every copy keeps the same text, so
+        // cross-copy identical suffixes deepen the tie structure (the
+        // adversarial case for prefix doubling) while total characters
+        // grow k-fold. Rounds stay log(max doc length); per-round work
+        // is linear in characters.
+        val docs = scaled("documents", k, "doc_id")
+          .filter(pmod(col("doc_id"), lit(250)) === 0 &&
+            length(col("text")) > 0)
+          .select(col("doc_id"), col("text"))
+        graft.operators.TextOps.suffixArray(docs)
+      }),
       "bucketed_decontam" -> (k => {
         // q164 shape scaled the production way: the benchmark side
         // stays FIXED (eval suites don't grow with the corpus) while

@@ -1191,8 +1191,132 @@ object TextOps {
         .filter(col("inter") * 5 >= col("uni") * t5)
         .select(col("a_id"), col("b_id"),
           round(col("inter").cast("double") / col("uni"), 6).as("jac"))
+    }),
+
+    // ---- generalized suffix array (prefix doubling) ---------------------
+    // The index structure behind exact-substring dedup at corpus scale
+    // (Lee et al. "Deduplicating Training Data Makes Language Models
+    // Better" builds suffix arrays; q100/q172's span hashing is the
+    // probabilistic cousin). Manber–Myers prefix doubling re-expressed
+    // as log2(max doc length) rounds of pure relational work: each round
+    // pairs every suffix's rank with the rank k positions ahead (a self
+    // equi-join on (doc, pos+k)), then dense-ranks the pairs with the
+    // distributed two-phase rank (distinct keys → range-partitioned
+    // prefix sums → join back; no single-partition window anywhere).
+    // State per round is one (doc, pos, rank) triple per corpus CHARACTER
+    // — the honest cost of a suffix array; production builds shard it
+    // per document group exactly like this deterministic doc_id slice.
+    "q182_suffix_array" -> ((s, d) => {
+      // fixed 10-doc slice at every sf (q46-style): the driver gate
+      // checks exactness; the corpus-scaling behavior of this shape is
+      // ScaleProbe's "suffix_array" probe, where content is scaled 8x
+      val docs = table(s, d, "documents")
+        .filter(col("doc_id") < 500 &&
+          pmod(col("doc_id"), lit(50)) === 0 && length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      suffixArray(docs)
     })
   )
+
+  /** Generalized suffix array over (doc_id, text) rows by Manber–Myers
+    * prefix doubling: returns (doc_id, pos, rank) where `rank` is the
+    * lexicographic rank of the suffix text[pos..] among ALL suffixes of
+    * all documents, ties between identical cross-document suffixes broken
+    * by (doc_id, pos). Every global ordering step is the distributed
+    * two-phase rank (range partition + local prefix sums + offset
+    * broadcast) — no single-partition window at any step. */
+  def suffixArray(docs: DataFrame): DataFrame = {
+      val maxLen = docs.agg(max(length(col("text")))).head().getInt(0)
+      // Bounded-key seeding: initial rank compares the first k0 = 8
+      // characters of each suffix as a fixed-width key built MAP-SIDE
+      // (constant bytes per row regardless of doc length — materializing
+      // whole suffixes would be O(len^2) bytes per doc, which is exactly
+      // why suffix arrays exist). Doubling then starts at k = 8 instead
+      // of 1, cutting the round count by 3 while the loop still resolves
+      // arbitrarily deep ties for long/repetitive documents.
+      val k0 = 8L
+      val chars = docs.select(col("doc_id"), col("text"),
+          posexplode(split(col("text"), "")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          expr(s"substring(text, pos + 1, $k0)").as("key8"))
+      // Each round references `cur` three times (self-join + rank-back),
+      // so without lineage truncation the logical plan grows ~4^rounds —
+      // eager localCheckpoint caps it at one round's depth per iteration
+      // (a cluster job would use reliable checkpoint() the same way).
+      val n = chars.count() // suffix count, bounds every dense rank
+      var cur = denseRankBy(chars, Seq("key8"), "r")
+        .select(col("doc_id"), col("pos"), col("r"))
+        .localCheckpoint(true)
+      var k = k0
+      // Adaptive packing: a doubling round whose (r, r2) pair fits a
+      // single long as r*base + r2 is a MAP-SIDE relabel — order-
+      // preserving, no shuffle, no checkpoint. Ranks are dense (<= n+1)
+      // after every compaction, so (n+1)^2 headroom allows one pack and
+      // (n+1)^4 < 2^63 allows two back-to-back before a dense round must
+      // compact — a shard under ~55k suffixes advances depth 8x per
+      // dense compaction, bigger shards 4x, and the scheme degrades to
+      // plain doubling only past 2^31 suffixes per shard.
+      val nB = n + 1L
+      val maxPacks =
+        if (nB < 55000L) 2 else if (nB < Int.MaxValue.toLong) 1 else 0
+      var packLevel = 0
+      var base = nB
+      // Convergence exit: a rank class a round fails to split can never
+      // split in a later round (the refinement is a fixed point), so the
+      // loop is done as soon as the distinct-rank count stops growing.
+      // NOT "all ranks unique" — this corpus plants long duplicated spans
+      // (the very ones q98/q100 dedup), so identical cross-doc suffixes
+      // keep tied ranks at every depth and a uniqueness test would run
+      // the loop to max doc length for nothing.
+      def nRanks(): Long = cur.select("r").distinct().count()
+      var prevRanks = nRanks()
+      var done = false
+      while (k < maxLen && !done) {
+        // rank k ahead within the same document; 0 = past the end, which
+        // sorts below every real rank (>= 1) — "abc" < "abcd"
+        val ahead = cur.select(col("doc_id"),
+          (col("pos") - k).as("pos"), col("r").as("r2"))
+        val paired = cur.join(ahead, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"), col("r"),
+            coalesce(col("r2"), lit(0L)).as("r2"))
+        if (packLevel < maxPacks) {
+          cur = paired.select(col("doc_id"), col("pos"),
+            (col("r") * base + col("r2")).as("r"))
+          base = base * base
+          packLevel += 1
+        } else {
+          cur = denseRankBy(paired, Seq("r", "r2"), "nr")
+            .select(col("doc_id"), col("pos"), col("nr").as("r"))
+            .localCheckpoint(true)
+          packLevel = 0
+          base = nB
+          val nr = nRanks()
+          done = nr == prevRanks
+          prevRanks = nr
+        }
+        k *= 2
+      }
+      // k >= max length: ranks now order by the FULL suffix; identical
+      // suffixes from different docs tie — break by (doc_id, pos) for the
+      // total suffix-array order, again with the distributed rank
+      orderedCumsum(cur.withColumn("one", lit(1L)),
+        Seq("r", "doc_id", "pos"), "one", "sa")
+        .select(col("doc_id"), col("pos"), (col("sa") - 1L).as("rank"))
+  }
+
+  /** Distributed dense rank of `df` by `keys`: rank the DISTINCT key
+    * tuples with the two-phase range-partitioned prefix sum (the key set
+    * is at most the row count and usually far smaller), then join the
+    * ranks back — total-order semantics with no single-partition window
+    * and no driver materialization beyond O(#partitions) offsets. */
+  private def denseRankBy(
+      df: DataFrame, keys: Seq[String], out: String): DataFrame = {
+    val ranked = orderedCumsum(
+      df.select(keys.map(col): _*).distinct().withColumn("_one", lit(1L)),
+      keys, "_one", out)
+      .select((keys.map(col) :+ col(out)): _*)
+    df.join(ranked, keys)
+  }
 
   /** Global running total over a total order WITHOUT a single-partition
     * window (the thing Resolve's id assignment also avoids): range-
@@ -1341,6 +1465,22 @@ object TextOps {
          JOIN sz sa ON sa.doc_id = a_id
          JOIN sz sb ON sb.doc_id = b_id
          WHERE inter * 5 >= (sa.n + sb.n - inter) * 4""",
+
+    // brute force: materialize every suffix and sort it — O(n^2 log n)
+    // character comparisons, fine for the deterministic doc slice; the
+    // Spark side never materializes a suffix string at all
+    "q182_suffix_array" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id < 500 AND doc_id % 50 = 0
+                      AND length(text) > 0),
+         p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 substr(text, CAST(i AS INT) + 1) AS suf
+               FROM d CROSS JOIN (SELECT unnest(range(0, 4096)) AS i) r
+               WHERE i < length(text))
+         SELECT doc_id, pos,
+           CAST(rank() OVER (ORDER BY suf, doc_id, pos) - 1 AS BIGINT)
+             AS rank
+         FROM p""",
 
     "q148_boilerplate" ->
       """WITH toks AS (
