@@ -1215,8 +1215,50 @@ object TextOps {
           pmod(col("doc_id"), lit(50)) === 0 && length(col("text")) > 0)
         .select(col("doc_id"), col("text"))
       suffixArray(docs)
+    }),
+
+    // ---- longest repeated substrings via SA + LCP ----------------------
+    // The suffix array's payoff query: the longest substring occurring
+    // twice anywhere in the corpus slice is the max LCP of RANK-ADJACENT
+    // suffixes (two suffixes' common prefix is at most the pairwise min
+    // along the rank path between them), so after q182's O(chars) index
+    // the repeats scan is ONE self-join on rank — never all suffix pairs.
+    // LCP is computed on a 128-char window (reported repeats cap at 128;
+    // the cap is part of the operator contract, not silent truncation)
+    // with a codegen'd fold — no per-char explode, no UDF.
+    "q183_lcp_repeats" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .filter(col("doc_id") < 500 &&
+          pmod(col("doc_id"), lit(50)) === 0 && length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      lcpRepeats(docs)
     })
   )
+
+  /** Top-10 repeated substrings (LCP capped at 128 chars) over the
+    * suffix array of (doc_id, text) rows: rank-adjacent suffix pairs
+    * with their common-prefix length, longest first. See q183. */
+  def lcpRepeats(docs: DataFrame): DataFrame = {
+      val sa = suffixArray(docs)
+      val suf = sa.join(docs, "doc_id")
+        .select(col("rank"), col("doc_id"), col("pos"),
+          expr("substring(text, pos + 1, 128)").as("suf"))
+      val nxt = suf.select((col("rank") - 1L).as("rank"),
+        col("doc_id").as("b_doc"), col("pos").as("b_pos"),
+        col("suf").as("b_suf"))
+      suf.join(nxt, "rank")
+        .withColumn("lcp", expr(
+          """CAST(aggregate(sequence(1, 128), 0, (acc, k) ->
+               CASE WHEN acc = k - 1
+                     AND substring(suf, k, 1) != ''
+                     AND substring(suf, k, 1) = substring(b_suf, k, 1)
+                    THEN k ELSE acc END) AS BIGINT)"""))
+        .filter(col("lcp") > 0)
+        .orderBy(col("lcp").desc, col("doc_id").asc, col("pos").asc)
+        .limit(10)
+        .select(col("doc_id").as("a_doc"), col("pos").as("a_pos"),
+          col("b_doc"), col("b_pos"), col("lcp"))
+  }
 
   /** Generalized suffix array over (doc_id, text) rows by Manber–Myers
     * prefix doubling: returns (doc_id, pos, rank) where `rank` is the
@@ -1481,6 +1523,35 @@ object TextOps {
            CAST(rank() OVER (ORDER BY suf, doc_id, pos) - 1 AS BIGINT)
              AS rank
          FROM p""",
+
+    // ranks by the FULL suffix (matching q182's order), LCP on the same
+    // 128-char window as the Spark side; correlated count over a
+    // constant range works because prefix equality is monotone in k
+    "q183_lcp_repeats" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id < 500 AND doc_id % 50 = 0
+                      AND length(text) > 0),
+         p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 substr(text, CAST(i AS INT) + 1) AS suf
+               FROM d CROSS JOIN (SELECT unnest(range(0, 4096)) AS i) r
+               WHERE i < length(text)),
+         rk AS (SELECT doc_id, pos, substr(suf, 1, 128) AS suf128,
+                  rank() OVER (ORDER BY suf, doc_id, pos) - 1 AS rank
+                FROM p),
+         pair AS (SELECT a.doc_id AS a_doc, a.pos AS a_pos,
+                    b.doc_id AS b_doc, b.pos AS b_pos,
+                    a.suf128 AS a_suf, b.suf128 AS b_suf
+                  FROM rk a JOIN rk b ON b.rank = a.rank + 1),
+         l AS (SELECT a_doc, a_pos, b_doc, b_pos,
+                 (SELECT count(*)
+                  FROM (SELECT unnest(range(1, 129)) AS k) t
+                  WHERE length(a_suf) >= k AND length(b_suf) >= k
+                    AND substr(a_suf, 1, CAST(k AS INT))
+                        = substr(b_suf, 1, CAST(k AS INT))) AS lcp
+               FROM pair)
+         SELECT a_doc, a_pos, b_doc, b_pos, CAST(lcp AS BIGINT) AS lcp
+         FROM l WHERE lcp > 0
+         ORDER BY lcp DESC, a_doc, a_pos LIMIT 10""",
 
     "q148_boilerplate" ->
       """WITH toks AS (

@@ -60,4 +60,28 @@ class SuffixArraySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("single chars and empty-adjacent shapes") {
     check(Seq(1L -> "a", 2L -> "b", 3L -> "aa"))
   }
+
+  test("lcpRepeats finds the planted longest repeat with exact length") {
+    import spark.implicits._
+    val planted = "zq jxv kwp zq" // 13 chars, planted in docs 1 and 2
+    val docs = Seq(
+      1L -> s"alpha beta $planted gamma",
+      2L -> s"delta $planted epsilon iota",
+      3L -> "omicron upsilon nothing shared").toDF("doc_id", "text")
+    val top = TextOps.lcpRepeats(docs).collect()
+    // longest cross-adjacent repeat must be at least the planted span
+    // (its two occurrences are rank-adjacent somewhere), and brute force
+    // over all pairs confirms nothing longer exists
+    val texts = Map(1L -> s"alpha beta $planted gamma",
+      2L -> s"delta $planted epsilon iota",
+      3L -> "omicron upsilon nothing shared")
+    val sufs = texts.toSeq.flatMap { case (id, t) =>
+      (0 until t.length).map(i => (id, i, t.substring(i))) }
+    val bruteMax = (for {
+      (ai, ap, as) <- sufs; (bi, bp, bs) <- sufs
+      if (ai, ap) != (bi, bp)
+    } yield as.zip(bs).takeWhile { case (x, y) => x == y }.length).max
+    assert(top.head.getLong(4) == bruteMax)
+    assert(bruteMax >= planted.length)
+  }
 }
