@@ -440,6 +440,40 @@ object RelationalOps {
             .as("kmv_est"))
     }),
 
+    // ---- approx quantiles: deterministic bottom-k-by-hash sample ------
+    // Completes the sketch family (KMV=distinct q60, CMS=counts q95,
+    // bottom-k sample=quantiles): per group, the k rows with the
+    // smallest md5(event_id) hashes form a uniform sample that is a pure
+    // function of the input SET (no order/partition dependence), so the
+    // interpolated quantiles over it hash-match a DuckDB oracle
+    // computing the same sample in SQL — exact-checkable where t-digest/
+    // GK/KLL are merge-order-dependent and could only be band-checked.
+    // State and shuffle bytes are AT MOST k (hash, value) pairs per map
+    // partition (BottomKSample aggregator), never the group's rows;
+    // error follows uniform-sampling bounds ~O(1/sqrt(k)).
+    "q184_quantile_sketch" -> ((s, d) => {
+      val k = 256
+      val ev = table(s, d, "events")
+      val hv = conv(substring(md5(col("event_id").cast("string")), 1, 13),
+        16, 10).cast("long")
+      val sampler = udaf(new graft.functions.BottomKSample(k),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Long, Double)]())
+      ev.groupBy("event_type")
+        .agg(sampler(hv, col("value")).as("sample"))
+        .select(col("event_type"),
+          size(col("sample")).cast("long").as("n_sample"),
+          explode(col("sample")).as("v"))
+        .groupBy("event_type", "n_sample") // k rows per group, post-sketch
+        .agg(
+          round(expr("percentile(v, 0.25D)"), 4).as("p25"),
+          round(expr("percentile(v, 0.50D)"), 4).as("p50"),
+          round(expr("percentile(v, 0.75D)"), 4).as("p75"),
+          round(expr("percentile(v, 0.95D)"), 4).as("p95"))
+        .select(col("event_type"), col("n_sample"),
+          col("p25"), col("p50"), col("p75"), col("p95"))
+    }),
+
     // ---- six-table star join (TPC-H Q5 shape): local-supplier revenue
     // by nation. Dims broadcast; the lineitem⋈orders⋈(customer,supplier)
     // chain is the only shuffled work.
@@ -992,6 +1026,25 @@ object RelationalOps {
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
+    "q184_quantile_sketch" ->
+      """WITH h AS (
+           SELECT event_type, value,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+               AS BIGINT) AS hv
+           FROM events),
+         hm AS (SELECT event_type, hv, min(value) AS value
+                FROM h GROUP BY event_type, hv),
+         r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                   AS rn
+               FROM hm),
+         s AS (SELECT event_type, value FROM r WHERE rn <= 256)
+         SELECT event_type, count(*) AS n_sample,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           round(quantile_cont(value, 0.95), 4) AS p95
+         FROM s GROUP BY event_type""",
     "q156_salted_join" ->
       """SELECT l.k, count(*) AS n_pairs,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
