@@ -1,0 +1,370 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+import graft.Tables.table
+
+/** Round-5 wave 13: six operational primitives a 100 TB lakehouse +
+  * training-data platform runs daily, each with the Spark-shaped plan
+  * that survives scale:
+  *
+  *   - q185 interval merge (gaps-and-islands): coalesce overlapping
+  *     per-key activity intervals with two per-key window passes — never
+  *     a global sort, never a self-join on overlap.
+  *   - q186 multi-pattern blocklist match: an Aho–Corasick automaton
+  *     ([[graft.functions.AhoCorasick]]) built once from the pattern
+  *     dimension and broadcast, so every document is scanned ONCE
+  *     regardless of how many patterns the blocklist holds.
+  *   - q187 multi-source BFS hops: frontier-at-a-time breadth-first
+  *     search as bounded relational rounds (join frontier→neighbors,
+  *     anti-join out settled nodes) — the iterative-graph shape that
+  *     PageRank (q119) and hash-min CC (q84 cluster pass) also use.
+  *   - q188 order-insensitive table checksum: commutative per-bucket
+  *     hash totals that let two 100 TB table copies be compared (and the
+  *     differing key-range localized) without sorting either side.
+  *   - q189 incremental view maintenance: the classic delta rules
+  *     (ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) maintaining a join-aggregate view,
+  *     oracle-checked against the direct full recompute.
+  *   - q190 CDC apply: collapse a keyed insert/update/delete changelog
+  *     to latest-wins and merge it into a snapshot with one full-outer
+  *     join — the batch analogue of a streaming upsert sink.
+  *
+  * Reference context: the reference's own maintenance surface is the
+  * JSONL compaction + COALESCE-merge upsert pair (SURVEY §2.2 S8–S10,
+  * §2.8); these six generalize that maintenance posture to corpus scale.
+  */
+object Wave13Ops {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Activity interval length for q185: 30 min in ns. */
+  private val IvLenNs = 1800000000000L
+
+  /** Timestamp (ntz or tz, micros precision) → µs-since-epoch long —
+    * timezone-free (same construction as [[graft.Tables.tsToNanos]]). */
+  private def tsToMicros(ts: org.apache.spark.sql.Column) =
+    timestamp_diff("MICROSECOND",
+      lit("1970-01-01 00:00:00").cast(TimestampNTZType),
+      ts.cast(TimestampNTZType))
+
+  /** Eagerly persist a multi-consumer / per-round subtree (same
+    * discipline as AnalyticsOps: builds are sequential, so one count()
+    * populates the cache exactly once). */
+  private def materialized(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- q185: per-user interval coalescing (gaps-and-islands) ---------
+    // Each event opens a 30-min activity interval; overlapping/touching
+    // intervals per user merge into islands. The standard SQL islands
+    // trick, kept fully distributed: island boundaries come from ONE
+    // per-user window pass (running max of interval end over the
+    // preceding rows), island ids from a second running sum — both
+    // windows PARTITION BY user_id, so work is hash-distributed across
+    // users and no single-partition window or interval self-join ever
+    // appears (the naive overlap join is quadratic per user). Two
+    // grouped aggregations later the output is 3 numbers per user.
+    "q185_interval_merge" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("iv_end", col("ts") + lit(IvLenNs))
+      val byTime = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val prevEnd = max("iv_end")
+        .over(byTime.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = ev
+        .withColumn("new_island",
+          when(prevEnd.isNull || col("ts") > prevEnd, 1L).otherwise(0L))
+        .withColumn("island", sum("new_island")
+          .over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "island")
+        .agg(min("ts").as("start"), max("iv_end").as("fin"))
+      islands.groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("fin") - col("start")).as("covered_ns"),
+          max(col("fin") - col("start")).as("max_len_ns"))
+    }),
+
+    // ---- q186: Aho–Corasick blocklist match ----------------------------
+    // Pattern dimension = the 20 most frequent ≥4-char tokens (count
+    // desc, token asc — deterministic). The dimension is collected
+    // (bounded: exactly 20 rows — a driver-side dim build, same class
+    // as the ANN query vector), compiled into ONE automaton, broadcast,
+    // and each document's text is scanned once; per doc the automaton
+    // yields the distinct patterns present, and a final groupBy counts
+    // containing docs per pattern. At 100 TB the pattern list can grow
+    // to 10k+ terms with ZERO change to the per-document cost — the
+    // oracle's contains()-per-term plan degrades linearly in |patterns|.
+    "q186_multi_pattern" -> ((s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents")
+      val terms: Seq[String] = docs
+        .select(explode(filter(split(lower(col("text")), " "),
+          w => length(w) >= 4)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(20)
+        .select("token").as[String].collect().toSeq
+      val bcAc = s.sparkContext.broadcast(
+        graft.functions.AhoCorasick.build(terms))
+      val termArr = terms.toArray
+      docs.select(lower(col("text")).as("text")).as[String]
+        .flatMap(t => bcAc.value.matchedPatterns(t).map(termArr(_)))
+        .toDF("term")
+        .groupBy("term").agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // ---- q187: multi-source BFS shortest hops --------------------------
+    // Same customer(2k)/supplier(2k+1) trade graph as q119; seeds are
+    // customers 0–4. Frontier-at-a-time BFS: each round joins the
+    // frontier to the edge list (shuffle on src — the scalable direction;
+    // the frontier is NOT broadcast because at real scale it grows to a
+    // large share of the graph by round 2), dedups the neighbor set, and
+    // anti-joins out already-settled nodes; only the NEW nodes carry
+    // into the next round, so total work is O(|E|·rounds) and each
+    // node/edge is touched a bounded number of times. Monotonicity of
+    // min-hops makes this exactly equal to the oracle's unrolled
+    // min-distance closure. Output: nodes per hop count, hops 0–3.
+    "q187_bfs_hops" -> ((s, d) => {
+      val eo = table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = materialized(eo
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+      var settled = materialized(edges
+        .filter(col("src") % 2 === 0 && col("src") < 10)
+        .select(col("src").as("id")).distinct()
+        .withColumn("hop", lit(0L)))
+      var frontier = settled
+      (1 to 3).foreach { k =>
+        val fresh = materialized(edges
+          .join(frontier.select(col("id").as("src")), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(settled, Seq("id"), "left_anti")
+          .withColumn("hop", lit(k.toLong)))
+        settled = settled.union(fresh)
+        frontier = fresh
+      }
+      settled.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    // ---- q188: order-insensitive bucketed table checksum ---------------
+    // Row hash = 52 md5 bits of an engine-portable canonical string of
+    // the row's integer/string/timestamp columns (floats excluded here:
+    // their decimal rendering is engine-specific — a production run
+    // hashes their IEEE-754 bits instead). Bucket = hv mod 64; per
+    // bucket the checksum is a SUM of bounded residues — commutative
+    // and associative, so Spark's map-side partial aggregation computes
+    // it with one tiny shuffle of 64 partials per map task, in ANY row
+    // order, with NO sort: two copies of a 100 TB table compare by 64
+    // (bucket, n_rows, checksum) rows, and a mismatched bucket narrows
+    // the diff to 1/64 of the keyspace (recurse for Merkle-style
+    // drill-down). Residues are < 1e9+7 so ~9.2e9 rows/bucket fit in
+    // an i64 sum before the outer mod — re-mod per partial at larger
+    // scales.
+    "q188_table_checksum" -> ((s, d) => {
+      val canon = concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+        coalesce(tsToMicros(col("l_shipdate")), lit(-1L)))
+      val hv = conv(substring(md5(canon), 1, 13), 16, 10).cast("long")
+      table(s, d, "lineitem")
+        .select((hv % 64).as("bucket"), (hv % 1000000007L).as("res"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum("res") % 1000000007L).as("checksum"))
+    }),
+
+    // ---- q189: incremental view maintenance (join-aggregate view) ------
+    // View = per-nation order count + revenue over orders ⋈ customer.
+    // A tenth of orders and a twentieth of customers arrive as deltas;
+    // the view is maintained with the textbook delta rules
+    //   ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    // and merged into the base aggregate by summing partials — never
+    // re-reading the 100 TB base fact table (the three delta joins all
+    // have a delta on at least one side, so their cost is O(|Δ|); the
+    // merge touches only view rows). The oracle is the DIRECT full
+    // recompute, so the driver's hash-compare certifies the delta
+    // algebra itself. Counts and cents ride exact integer arithmetic.
+    "q189_ivm_join" -> ((s, d) => {
+      val ord = table(s, d, "orders")
+      val cust = table(s, d, "customer")
+      val isNewO = col("o_orderkey") % 10 === 0
+      val isNewC = col("c_custkey") % 20 === 0
+      def view(o: DataFrame, c: DataFrame): DataFrame =
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100).cast("long"))
+              .as("revenue_cents"))
+      val base = view(ord.filter(!isNewO), cust.filter(!isNewC))
+      val dA = view(ord.filter(isNewO), cust.filter(!isNewC))
+      val dB = view(ord.filter(!isNewO), cust.filter(isNewC))
+      val dAB = view(ord.filter(isNewO), cust.filter(isNewC))
+      base.unionAll(dA).unionAll(dB).unionAll(dAB)
+        .groupBy("c_nationkey")
+        .agg(sum("n_orders").as("n_orders"),
+          sum("revenue_cents").as("revenue_cents"))
+    }),
+
+    // ---- q190: CDC apply (changelog → snapshot merge) ------------------
+    // Snapshot = customer balances (integer cents); changelog = events
+    // keyed by user_id (signup/view/click upsert the event value,
+    // purchase deletes the key; errors are not changes). Latest-wins per
+    // key via ONE per-key window (order ts desc, event_id desc — the
+    // changelog's total order), then a single full-outer join merges
+    // changelog heads into the snapshot: delete drops the key, upsert
+    // overwrites-or-inserts, untouched snapshot rows pass through. Both
+    // shuffles hash on the key — the exact shape a compaction job uses
+    // to fold a day of CDC into a 100 TB table, touching each side
+    // once. (Batch analogue of the streaming dedup sink q174.)
+    "q190_cdc_apply" -> ((s, d) => {
+      val snap = table(s, d, "customer")
+        .select(col("c_custkey").as("key"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val byKeyDesc = Window.partitionBy("key")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val latest = table(s, d, "events")
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id").as("key"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          floor(col("value") * 100).cast("long").as("new_bal"))
+        .withColumn("rn", row_number().over(byKeyDesc))
+        .filter(col("rn") === 1)
+        .select("key", "op", "new_bal")
+      snap.join(latest, Seq("key"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("key"),
+          when(col("op").isNotNull, col("new_bal")).otherwise(col("bal_cents"))
+            .as("bal_cents"),
+          when(col("op").isNotNull, lit("chg")).otherwise(lit("snap"))
+            .as("src"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q185_interval_merge" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) AS t, event_id,
+                  epoch_ns(ts) + 1800000000000 AS iv_end
+           FROM events),
+         marked AS (
+           SELECT user_id, t, iv_end,
+                  CASE WHEN max(iv_end) OVER (
+                         PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR t > max(iv_end) OVER (
+                         PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island,
+                  event_id
+           FROM ev),
+         isl AS (
+           SELECT user_id, t, iv_end,
+                  sum(new_island) OVER (
+                    PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+           FROM marked),
+         merged AS (
+           SELECT user_id, island, min(t) AS start, max(iv_end) AS fin
+           FROM isl GROUP BY user_id, island)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+                CAST(sum(fin - start) AS BIGINT) AS covered_ns,
+                CAST(max(fin - start) AS BIGINT) AS max_len_ns
+         FROM merged GROUP BY user_id""",
+    "q186_multi_pattern" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                     w -> length(w) >= 4)) AS token
+           FROM documents),
+         terms AS (
+           SELECT token AS term FROM (
+             SELECT token, count(*) AS cnt FROM toks GROUP BY token
+             ORDER BY cnt DESC, token ASC LIMIT 20))
+         SELECT t.term, CAST(count(*) AS BIGINT) AS n_docs
+         FROM terms t JOIN documents d
+           ON position(t.term IN lower(d.text)) > 0
+         GROUP BY t.term""",
+    "q187_bfs_hops" ->
+      """WITH eo AS (
+           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         edges AS (SELECT src, dst FROM eo
+                   UNION ALL SELECT dst, src FROM eo),
+         d0 AS (SELECT DISTINCT src AS id FROM edges
+                WHERE src % 2 = 0 AND src < 10),
+         n1 AS (SELECT DISTINCT e.dst AS id FROM edges e
+                JOIN d0 ON d0.id = e.src
+                WHERE e.dst NOT IN (SELECT id FROM d0)),
+         n2 AS (SELECT DISTINCT e.dst AS id FROM edges e
+                JOIN n1 ON n1.id = e.src
+                WHERE e.dst NOT IN (SELECT id FROM d0)
+                  AND e.dst NOT IN (SELECT id FROM n1)),
+         n3 AS (SELECT DISTINCT e.dst AS id FROM edges e
+                JOIN n2 ON n2.id = e.src
+                WHERE e.dst NOT IN (SELECT id FROM d0)
+                  AND e.dst NOT IN (SELECT id FROM n1)
+                  AND e.dst NOT IN (SELECT id FROM n2))
+         SELECT hop, n_nodes FROM (
+           SELECT CAST(0 AS BIGINT) AS hop,
+                  CAST(count(*) AS BIGINT) AS n_nodes FROM d0
+           UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM n1
+           UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM n2
+           UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM n3)
+         WHERE n_nodes > 0""",
+    "q188_table_checksum" ->
+      """WITH h AS (
+           SELECT CAST(('0x' || substr(md5(
+                    concat_ws('|', l_orderkey, l_partkey, l_suppkey,
+                              l_linenumber, l_returnflag, l_linestatus,
+                              COALESCE(epoch_us(l_shipdate), -1))),
+                  1, 13)) AS BIGINT) AS hv
+           FROM lineitem)
+         SELECT hv % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(hv % 1000000007) % 1000000007 AS BIGINT)
+                  AS checksum
+         FROM h GROUP BY hv % 64""",
+    "q189_ivm_join" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey""",
+    "q190_cdc_apply" ->
+      """WITH ch AS (
+           SELECT user_id AS key, epoch_ns(ts) AS t, event_id,
+                  CASE WHEN event_type = 'purchase' THEN 'D'
+                       ELSE 'U' END AS op,
+                  CAST(floor(value * 100) AS BIGINT) AS new_bal
+           FROM events WHERE event_type <> 'error'),
+         latest AS (
+           SELECT key, op, new_bal FROM (
+             SELECT key, op, new_bal,
+                    row_number() OVER (PARTITION BY key
+                                       ORDER BY t DESC, event_id DESC) AS rn
+             FROM ch)
+           WHERE rn = 1),
+         snap AS (
+           SELECT c_custkey AS key,
+                  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer)
+         SELECT COALESCE(s.key, l.key) AS key,
+                CASE WHEN l.op IS NOT NULL THEN l.new_bal
+                     ELSE s.bal_cents END AS bal_cents,
+                CASE WHEN l.op IS NOT NULL THEN 'chg'
+                     ELSE 'snap' END AS src
+         FROM snap s FULL OUTER JOIN latest l ON s.key = l.key
+         WHERE l.op IS NULL OR l.op <> 'D'""")
+}

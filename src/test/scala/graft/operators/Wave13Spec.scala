@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.AhoCorasick
+
+/** Contracts for the wave-13 operators: interval coalescing (q185),
+  * Aho–Corasick multi-pattern matching (q186), frontier BFS (q187),
+  * the order-insensitive table checksum (q188), incremental view
+  * maintenance (q189) and CDC apply (q190). The DuckDB oracle checks
+  * exact values; these pin the algorithmic invariants — automaton
+  * semantics against brute force, BFS against a reference traversal,
+  * IVM against direct recompute, checksum diff localization, CDC
+  * latest-wins/delete semantics — each operator's scale story rests on.
+  */
+class Wave13Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("wave13-spec")
+      .getOrCreate()
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- AhoCorasick automaton ------------------------------------------
+
+  test("AhoCorasick matches the classic he/she/his/hers example with " +
+    "correct failure transitions") {
+    val pats = Seq("he", "she", "his", "hers")
+    val ac = AhoCorasick.build(pats)
+    // "ushers" contains she (1), he (0), hers (3) — NOT his
+    assert(ac.matchedPatterns("ushers").toSet == Set(0, 1, 3))
+    // the 's'->'h'->'e' path must fire "he" via the fail link from "she"
+    assert(ac.countOccurrences("ushers") == 3)
+    assert(ac.matchedPatterns("aaa").isEmpty)
+    assert(ac.matchedPatterns("hishers").toSet == Set(0, 1, 2, 3))
+  }
+
+  test("AhoCorasick counts overlapping occurrences (automaton-native " +
+    "semantics) and equals a brute-force scan on random inputs") {
+    val ac = AhoCorasick.build(Seq("aba"))
+    assert(ac.countOccurrences("ababa") == 2) // overlapping
+    val pats = Seq("ab", "bc", "abc", "cab", "a")
+    val auto = AhoCorasick.build(pats)
+    val rnd = new scala.util.Random(13)
+    (1 to 50).foreach { _ =>
+      val text = (1 to 40).map(_ => "abc" (rnd.nextInt(3))).mkString
+      val expectMatched = pats.zipWithIndex
+        .filter { case (p, _) => text.contains(p) }.map(_._2).toSet
+      assert(auto.matchedPatterns(text).toSet == expectMatched, s"text=$text")
+      val expectCount = pats.map { p =>
+        text.sliding(p.length).count(_ == p)
+      }.sum.toLong
+      assert(auto.countOccurrences(text) == expectCount, s"text=$text")
+    }
+  }
+
+  test("q186 equals the per-term contains() plan (same result, one scan)") {
+    val got = graft.SparkEntry.queries("q186_multi_pattern")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference: derive the same top-20 terms, then count containing
+    // docs with 20 separate contains passes (the plan the automaton
+    // replaces)
+    val docs = graft.Tables.table(spark, sf, "documents")
+    val terms = docs
+      .select(explode(filter(split(lower(col("text")), " "),
+        w => length(w) >= 4)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(20)
+      .select("token").collect().map(_.getString(0))
+    val want = terms.map { t =>
+      t -> docs.filter(lower(col("text")).contains(t)).count()
+    }.toMap
+    assert(got == want)
+  }
+
+  // ---- q185: interval coalescing --------------------------------------
+
+  test("q185 equals a per-user brute-force interval merge") {
+    val ivLen = 1800000000000L
+    val got = graft.SparkEntry.queries("q185_interval_merge")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val byUser = graft.Tables.table(spark, sf, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val want = byUser.map { case (u, ts) =>
+      // classic sweep: extend the current island while start <= maxEnd
+      var islands = List.empty[(Long, Long)]
+      ts.foreach { t =>
+        islands match {
+          case (s0, e0) :: rest if t <= e0 =>
+            islands = (s0, math.max(e0, t + ivLen)) :: rest
+          case _ => islands = (t, t + ivLen) :: islands
+        }
+      }
+      val lens = islands.map { case (s0, e0) => e0 - s0 }
+      u -> ((islands.length.toLong, lens.sum, lens.max))
+    }
+    assert(got == want)
+  }
+
+  test("q185 plan has no self-join and only per-user windows") {
+    val df = graft.SparkEntry.queries("q185_interval_merge")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "interval merge must not self-join")
+    assert(!plan.contains("SinglePartition"),
+      "windows must partition by user, never globally")
+  }
+
+  // ---- q187: frontier BFS ---------------------------------------------
+
+  test("q187 equals a reference BFS traversal of the collected graph") {
+    val got = graft.SparkEntry.queries("q187_bfs_hops")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = graft.Tables.table(spark, sf, "lineitem")
+    val or = graft.Tables.table(spark, sf, "orders")
+    val eo = li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (eo ++ eo.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keySet.filter(id => id % 2 == 0 && id < 10)
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    (1 to 3).foreach { k =>
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist ++= next.map(_ -> k.toLong)
+      frontier = next
+    }
+    val want = dist.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    assert(got == want)
+  }
+
+  // ---- q188: order-insensitive checksum -------------------------------
+
+  test("q188 checksum is invariant under row order and localizes a " +
+    "single-row perturbation to at most two buckets") {
+    val q = graft.SparkEntry.queries("q188_table_checksum")
+    val base = q(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // invariance: recompute over a shuffled, differently-partitioned copy
+    val li = graft.Tables.table(spark, sf, "lineitem")
+    val shuffled = li.repartition(7, col("l_partkey"))
+    shuffled.createOrReplaceTempView("wave13_shuffled_lineitem")
+    val canon = concat_ws("|",
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+      coalesce(timestamp_diff("MICROSECOND",
+        lit("1970-01-01 00:00:00")
+          .cast(org.apache.spark.sql.types.TimestampNTZType),
+        col("l_shipdate")
+          .cast(org.apache.spark.sql.types.TimestampNTZType)), lit(-1L)))
+    def sums(df: org.apache.spark.sql.DataFrame) = {
+      val hv = conv(substring(md5(canon), 1, 13), 16, 10).cast("long")
+      df.select((hv % 64).as("bucket"), (hv % 1000000007L).as("res"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), (sum("res") % 1000000007L).as("checksum"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    assert(sums(shuffled) == base, "checksum must not depend on layout")
+    // localization: flip one row's return flag — only the buckets of the
+    // old and new row hash may change
+    val victim = li.select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").head()
+    val perturbed = li.withColumn("l_returnflag",
+      when(col("l_orderkey") === victim.getLong(0)
+          && col("l_linenumber") === victim.getInt(1), lit("Z"))
+        .otherwise(col("l_returnflag")))
+    val after = sums(perturbed)
+    val changed = (base.keySet ++ after.keySet)
+      .filter(b => base.get(b) != after.get(b))
+    assert(changed.nonEmpty, "perturbation must be visible")
+    assert(changed.size <= 2,
+      s"a one-row diff must touch <=2 buckets, got $changed")
+  }
+
+  // ---- q189: incremental view maintenance -----------------------------
+
+  test("q189 delta-rule maintenance equals the direct full recompute") {
+    val got = graft.SparkEntry.queries("q189_ivm_join")(spark, sf)
+      .collect()
+      .map(r => r.get(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    val direct = graft.Tables.table(spark, sf, "orders")
+      .join(graft.Tables.table(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .collect()
+      .map(r => r.get(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == direct)
+  }
+
+  // ---- q190: CDC apply ------------------------------------------------
+
+  test("q190 applies latest-wins upserts and deletes over the snapshot") {
+    val rows = graft.SparkEntry.queries("q190_cdc_apply")(spark, sf).collect()
+    val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got.size == rows.length, "one output row per key")
+    // reference: latest change per key from the raw events
+    val ch = graft.Tables.table(spark, sf, "events")
+      .filter(col("event_type") =!= "error")
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val latest = ch.groupBy(_._1).view.mapValues(
+      _.maxBy(e => (e._2, e._3))).toMap
+    val snap = graft.Tables.table(spark, sf, "customer")
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 100).toLong).toMap
+    latest.foreach { case (k, e) =>
+      if (e._4 == "purchase")
+        assert(!got.contains(k), s"deleted key $k must be absent")
+      else
+        assert(got(k) == ((math.floor(e._5 * 100).toLong, "chg")),
+          s"key $k must carry the latest upsert value")
+    }
+    snap.foreach { case (k, bal) =>
+      if (!latest.contains(k))
+        assert(got(k) == ((bal, "snap")),
+          s"untouched snapshot key $k must pass through")
+    }
+    // inserts: changed keys outside the snapshot appear iff not deleted
+    latest.keySet.filterNot(snap.contains).foreach { k =>
+      assert(got.contains(k) == (latest(k)._4 != "purchase"))
+    }
+  }
+}
