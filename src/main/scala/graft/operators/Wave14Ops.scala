@@ -1,0 +1,319 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** Round-5 wave 14: tokenizer training, time-series repair, declarative
+  * data-quality auditing, and community detection — four more pillars of
+  * a corpus-scale curation platform:
+  *
+  *   - q191 BPE merge learning: the byte-pair-encoding training loop
+  *     (Sennrich et al., ACL 2016) as bounded relational rounds — count
+  *     adjacent symbol pairs (one map-side-combined groupBy), pick the
+  *     argmax merge, apply it with pure window arithmetic. The 100 TB
+  *     posture: pair counting is a shuffle of (pair, count) partials,
+  *     never token sequences; each round's merge rule is ONE broadcast
+  *     row.
+  *   - q192 gap fill: per-user daily resampling with forward fill —
+  *     sequence() generates each user's day range, a left join lands
+  *     observed days, last(ignoreNulls) over the per-user window carries
+  *     values across gaps. Everything partitions by user.
+  *   - q193 data-quality expectations: a Deequ-style declarative check
+  *     suite (range / set-membership / null rules) evaluated in ONE scan
+  *     via conditional aggregation, plus a referential-integrity orphan
+  *     check as an anti-join — the audit a lakehouse runs on every new
+  *     partition before publishing it.
+  *   - q194 label propagation: semi-synchronous LPA communities on the
+  *     trade graph (Raghavan et al., 2007) — each round one edge⋈label
+  *     join, a (node, label) count, and a per-node argmax window with
+  *     deterministic ties. The same bounded-iterative shape as q119
+  *     PageRank and q187 BFS, completing the graph family.
+  */
+object Wave14Ops {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NsPerDay = 86400000000000L
+
+  private def materialized(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- q191: BPE merge learning (3 rounds) ---------------------------
+    // Symbols start as whitespace tokens (the operator is alphabet-
+    // agnostic; character-level runs identically) over a deterministic
+    // 10% document slice. Per round: (a) adjacent-pair counts via ONE
+    // per-doc lead() window + map-side-combined groupBy — the shuffle
+    // carries (pair, count) partials, never positions; (b) the merge
+    // rule = argmax pair (count desc, pair asc), a 1-row bounded
+    // driver probe (the convergence-probe pattern of GraphOps);
+    // (c) application: rows where (t, next)=(x, y) become the merged
+    // symbol, rows where (prev, t)=(x, y) are consumed, positions
+    // renumber with row_number — all per-doc windows. Restricting
+    // merges to x != y makes matches non-overlapping, so greedy
+    // left-to-right application IS this relational form (a pair can
+    // only overlap itself when left == right). Output: the 3 learned
+    // merge rules with their support.
+    "q191_bpe_merges" -> ((s, d) => {
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      var toks = materialized(table(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(filter(split(lower(col("text")), " "), w => w =!= ""))
+            .as(Seq("pos", "t"))))
+      val learned = (1 to 3).map { round =>
+        val nbr = toks
+          .withColumn("nxt", lead("t", 1).over(byPos))
+          .withColumn("prv", lag("t", 1).over(byPos))
+        val best = nbr
+          .filter(col("nxt").isNotNull && col("t") =!= col("nxt"))
+          .groupBy("t", "nxt").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("t").asc, col("nxt").asc)
+          .limit(1).head() // bounded: the single argmax merge rule
+        val (x, y, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        val next = materialized(nbr
+          .filter(!coalesce(col("prv") === x && col("t") === y, lit(false)))
+          .withColumn("t",
+            when(col("t") === x && col("nxt") === y,
+              concat(col("t"), lit("~"), col("nxt"))).otherwise(col("t")))
+          .withColumn("pos", row_number().over(byPos))
+          .select("doc_id", "pos", "t"))
+        toks.unpersist()
+        toks = next
+        (round.toLong, x, y, cnt)
+      }
+      import s.implicits._
+      learned.toDF("round", "left_tok", "right_tok", "pair_count")
+    }),
+
+    // ---- q192: per-user daily gap fill + forward fill ------------------
+    // Each user's observed span (min..max event day) is densified with
+    // sequence(), observed daily spend lands via a left join on
+    // (user, day), and gaps carry the last observed value forward with
+    // last(ignoreNulls) over the per-user ordered window. Day counts
+    // and values stay integer (epoch days, cents). Every stage
+    // partitions on user_id; the generated rows are |users| x |span|,
+    // which scales with the DIMENSION (users x days), not the event
+    // count — the standard time-series repair before per-entity
+    // modeling.
+    "q192_gap_fill" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(sum("cents").as("day_cents"))
+      val span = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val filled = span.join(daily, Seq("user_id", "day"), "left")
+      val byDay = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      filled.select(col("user_id"), col("day"),
+        last("day_cents", ignoreNulls = true).over(byDay).as("filled_cents"),
+        col("day_cents").isNull.as("is_gap"))
+    }),
+
+    // ---- q193: declarative data-quality expectations -------------------
+    // The publish gate: five row-level expectations over lineitem
+    // evaluated in ONE scan (conditional aggregation — adding a rule
+    // adds a counter, not a pass), plus lineitem→orders referential
+    // integrity as a left anti-join (at warehouse scale both sides
+    // shuffle on the key once; with a bucketed fact table it is
+    // exchange-free, see PipelineSpec). Output: one row per check with
+    // violation and checked counts — the contract a pipeline asserts
+    // before publishing a partition.
+    "q193_dq_checks" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      def check(name: String, bad: org.apache.spark.sql.Column) =
+        struct(lit(name).as("check_name"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+      val rowChecks = li.agg(array(
+        check("quantity_in_1_50",
+          col("l_quantity") < 1 || col("l_quantity") > 50),
+        check("price_nonnegative", col("l_extendedprice") < 0),
+        check("returnflag_in_domain",
+          !col("l_returnflag").isin("A", "N", "R")),
+        check("linestatus_in_domain", !col("l_linestatus").isin("O", "F")),
+        check("shipdate_present", col("l_shipdate").isNull)).as("cs"))
+        .select(explode(col("cs")).as("c"))
+        .select("c.check_name", "c.n_violations", "c.n_checked")
+      val total = li.count()
+      val orphans = li.join(table(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orderkey_fk_integrity").as("check_name"),
+          col("n_violations"), lit(total).as("n_checked"))
+      rowChecks.unionAll(orphans)
+    }),
+
+    // ---- q194: label propagation communities ---------------------------
+    // Labels start as node ids; per round every node adopts its
+    // neighbors' most frequent label (ties -> smallest label), computed
+    // as edge⋈label join + (node, label) count + per-node rank-1
+    // window. Two synchronous rounds (unrolled for the oracle; a
+    // production run iterates to stability with the same round body,
+    // checkpointing like q119). Nodes with no neighbors keep their
+    // label — impossible here since the edge list defines the node
+    // set. Output: the 20 largest communities (size desc, label asc).
+    "q194_label_propagation" -> ((s, d) => {
+      val eo = table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = materialized(eo
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      val byVotes = Window.partitionBy("id")
+        .orderBy(col("cnt").desc, col("label").asc)
+      (1 to 2).foreach { _ =>
+        labels = materialized(edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(byVotes))
+          .filter(col("rn") === 1)
+          .select("id", "label"))
+      }
+      labels.groupBy("label").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("label").asc).limit(20)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q191_bpe_merges" ->
+      """WITH t0 AS (
+           SELECT doc_id,
+                  unnest(range(1, len(tk) + 1)) AS pos,
+                  unnest(tk) AS t
+           FROM (SELECT doc_id,
+                        list_filter(string_split(lower(text), ' '),
+                                    w -> w <> '') AS tk
+                 FROM documents WHERE doc_id % 10 = 0)),
+         n1 AS (SELECT doc_id, pos, t,
+                       lead(t) OVER w AS nxt, lag(t) OVER w AS prv
+                FROM t0 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         b1 AS (SELECT t AS x, nxt AS y, count(*) AS cnt FROM n1
+                WHERE nxt IS NOT NULL AND t <> nxt
+                GROUP BY t, nxt ORDER BY cnt DESC, t, nxt LIMIT 1),
+         t1 AS (SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS pos,
+                       CASE WHEN t = b.x AND nxt = b.y
+                            THEN t || '~' || nxt ELSE t END AS t
+                FROM n1 CROSS JOIN b1 b
+                WHERE NOT COALESCE(prv = b.x AND t = b.y, false)),
+         n2 AS (SELECT doc_id, pos, t,
+                       lead(t) OVER w AS nxt, lag(t) OVER w AS prv
+                FROM t1 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         b2 AS (SELECT t AS x, nxt AS y, count(*) AS cnt FROM n2
+                WHERE nxt IS NOT NULL AND t <> nxt
+                GROUP BY t, nxt ORDER BY cnt DESC, t, nxt LIMIT 1),
+         t2 AS (SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS pos,
+                       CASE WHEN t = b.x AND nxt = b.y
+                            THEN t || '~' || nxt ELSE t END AS t
+                FROM n2 CROSS JOIN b2 b
+                WHERE NOT COALESCE(prv = b.x AND t = b.y, false)),
+         n3 AS (SELECT doc_id, pos, t,
+                       lead(t) OVER w AS nxt, lag(t) OVER w AS prv
+                FROM t2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         b3 AS (SELECT t AS x, nxt AS y, count(*) AS cnt FROM n3
+                WHERE nxt IS NOT NULL AND t <> nxt
+                GROUP BY t, nxt ORDER BY cnt DESC, t, nxt LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS round, x AS left_tok,
+                y AS right_tok, CAST(cnt AS BIGINT) AS pair_count FROM b1
+         UNION ALL SELECT 2, x, y, CAST(cnt AS BIGINT) FROM b2
+         UNION ALL SELECT 3, x, y, CAST(cnt AS BIGINT) FROM b3""",
+    "q192_gap_fill" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+                  CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+         daily AS (SELECT user_id, day, sum(cents) AS day_cents
+                   FROM ev GROUP BY user_id, day),
+         span AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+                  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+                        FROM daily GROUP BY user_id)),
+         j AS (SELECT s.user_id, s.day, d.day_cents
+               FROM span s LEFT JOIN daily d
+                 ON d.user_id = s.user_id AND d.day = s.day)
+         SELECT user_id, day,
+                CAST(last_value(day_cents IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS filled_cents,
+                day_cents IS NULL AS is_gap
+         FROM j""",
+    "q193_dq_checks" ->
+      """SELECT 'quantity_in_1_50' AS check_name,
+                CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                CAST(count(*) AS BIGINT) AS n_checked
+         FROM lineitem
+         UNION ALL
+         SELECT 'price_nonnegative',
+                CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT), CAST(count(*) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'returnflag_in_domain',
+                CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(*) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'linestatus_in_domain',
+                CAST(sum(CASE WHEN l_linestatus NOT IN ('O','F')
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(*) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'shipdate_present',
+                CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT), CAST(count(*) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'orderkey_fk_integrity',
+                CAST((SELECT count(*) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT),
+                CAST((SELECT count(*) FROM lineitem) AS BIGINT)""",
+    "q194_label_propagation" ->
+      """WITH eo AS (
+           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         edges AS (SELECT src, dst FROM eo
+                   UNION ALL SELECT dst, src FROM eo),
+         l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+         v1 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+                FROM edges e JOIN l0 l ON l.id = e.src
+                GROUP BY e.dst, l.label),
+         l1 AS (SELECT id, label FROM (
+                  SELECT id, label, row_number() OVER (
+                    PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+                  FROM v1) WHERE rn = 1),
+         v2 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+                FROM edges e JOIN l1 l ON l.id = e.src
+                GROUP BY e.dst, l.label),
+         l2 AS (SELECT id, label FROM (
+                  SELECT id, label, row_number() OVER (
+                    PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+                  FROM v2) WHERE rn = 1)
+         SELECT label, CAST(count(*) AS BIGINT) AS size
+         FROM l2 GROUP BY label
+         ORDER BY size DESC, label ASC LIMIT 20""")
+}
