@@ -661,6 +661,138 @@ object ScaleProbe {
           .agg(expr("max_by(op, ver)").as("op"))
           .groupBy("v")
           .agg(sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"))
+      }),
+      "interval_islands" -> (k => {
+        // q185 shape: islands via two per-user window passes + two
+        // grouped aggs; every stage hash-partitions on user_id, so the
+        // ratio tracks event volume.
+        val byTime = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val prevEnd = max("iv_end")
+          .over(byTime.rowsBetween(Window.unboundedPreceding, -1))
+        scaled("events", k, "user_id", "event_id")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("iv_end", col("ts") + lit(1800000000000L))
+          .withColumn("ni",
+            when(prevEnd.isNull || col("ts") > prevEnd, 1L).otherwise(0L))
+          .withColumn("island", sum("ni")
+            .over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island")
+          .agg(min("ts").as("s"), max("iv_end").as("e"))
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+      }),
+      "aho_scan" -> (k => {
+        // q186 shape: the automaton is FIXED (built once from the base
+        // corpus's top-20 terms) while the scanned corpus scales k× —
+        // per-document cost is one text pass independent of pattern
+        // count, so the ratio tracks corpus bytes.
+        val terms = base("documents")
+          .select(explode(filter(split(lower(col("text")), " "),
+            w => length(w) >= 4)).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token").asc).limit(20)
+          .select("token")
+          .collect().map(_.getString(0)).toSeq
+        val bcAc = spark.sparkContext.broadcast(
+          graft.functions.AhoCorasick.build(terms))
+        val termArr = terms.toArray
+        scaled("documents", k, "doc_id")
+          .select(lower(col("text")).as("text"))
+          .as(org.apache.spark.sql.Encoders.STRING)
+          .flatMap(t => bcAc.value.matchedPatterns(t).map(termArr(_)))(
+            org.apache.spark.sql.Encoders.STRING)
+          .toDF("term")
+          .groupBy("term").agg(count(lit(1)).as("n_docs"))
+      }),
+      "bfs_round" -> (k => {
+        // q187's dominant stage: ONE frontier expansion over a k×
+        // edge list (join on src, neighbor dedup, anti-join vs
+        // settled). Seeds live in copy 0 only; the probe measures the
+        // edge-side shuffle, which is what grows with the graph.
+        val eo = scaled("lineitem", k, "l_orderkey", "l_suppkey")
+          .join(scaled("orders", k, "o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = eo.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val seeds = edges.filter(col("src") % 2 === 0 && col("src") < 10)
+          .select(col("src").as("id")).distinct()
+        edges.join(seeds.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(seeds, Seq("id"), "left_anti")
+      }),
+      "checksum_buckets" -> (k => {
+        // q188 shape: pure map-side hashing + a 64-partial shuffle —
+        // the ratio is the scan itself.
+        val canon = concat_ws("|",
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_linestatus"))
+        val hv = conv(substring(md5(canon), 1, 13), 16, 10).cast("long")
+        scaled("lineitem", k, "l_orderkey")
+          .select((hv % 64).as("bucket"), (hv % 1000000007L).as("res"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            (sum("res") % 1000000007L).as("checksum"))
+      }),
+      "bpe_pair_count" -> (k => {
+        // q191's per-round dominant stage: per-doc lead() + the
+        // map-side-combined pair count (the argmax row and the merge
+        // application ride the same windows).
+        val byPos = Window.partitionBy("doc_id").orderBy("pos")
+        scaled("documents", k, "doc_id")
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"),
+            posexplode(filter(split(lower(col("text")), " "),
+              w => w =!= "")).as(Seq("pos", "t")))
+          .withColumn("nxt", lead("t", 1).over(byPos))
+          .filter(col("nxt").isNotNull && col("t") =!= col("nxt"))
+          .groupBy("t", "nxt").agg(count(lit(1)).as("cnt"))
+      }),
+      "gap_fill" -> (k => {
+        // q192 shape: densify each user's span + forward fill — all
+        // per-user windows; generated rows scale with users × days.
+        val ev = scaled("events", k, "user_id")
+          .select(col("user_id"),
+            expr("ts div 86400000000000").as("day"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val daily = ev.groupBy("user_id", "day")
+          .agg(sum("cents").as("day_cents"))
+        val span = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val byDay = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        span.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            last("day_cents", ignoreNulls = true).over(byDay)
+              .as("filled_cents"))
+      }),
+      "lpa_vote_round" -> (k => {
+        // q194's per-round body: edge⋈label join + (node, label) count
+        // + per-node rank-1 window.
+        val eo = scaled("lineitem", k, "l_orderkey", "l_suppkey")
+          .join(scaled("orders", k, "o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = eo.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+        edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(Window.partitionBy("id")
+            .orderBy(col("cnt").desc, col("label").asc)))
+          .filter(col("rn") === 1)
       }))
 
     def time(df: DataFrame): Double = {
