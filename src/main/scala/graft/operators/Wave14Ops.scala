@@ -174,18 +174,30 @@ object Wave14Ops {
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-      val byVotes = Window.partitionBy("id")
-        .orderBy(col("cnt").desc, col("label").asc)
-      (1 to 2).foreach { _ =>
-        labels = materialized(edges
+      // Round 1 collapses algebraically: labels start as node ids and
+      // the symmetrized edge list is DISTINCT, so every neighbor casts
+      // exactly one vote for its own id — all counts tie at 1 and the
+      // winner is simply min(neighbor id). One groupBy replaces the
+      // round's join + vote count (the general body below computes the
+      // identical result, just slower).
+      var labels = edges.groupBy(col("dst").as("id"))
+        .agg(min("src").as("label"))
+      (2 to 2).foreach { _ =>
+        // General round body. The per-node argmax is ONE aggregate —
+        // max of (cnt, -label) picks the most frequent label with
+        // min-label ties — so each round costs the (node, label) vote
+        // count plus a map-side-combinable reduce, never a rank sort.
+        // Rounds have one consumer each and chain LAZILY into a single
+        // AQE-planned job; only the shared edge list is materialized
+        // (at real depth, checkpoint every few rounds like q119's
+        // note).
+        labels = edges
           .join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"), col("label"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(byVotes))
-          .filter(col("rn") === 1)
-          .select("id", "label"))
+          .groupBy("id")
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("id"), (-col("m.nl")).as("label"))
       }
       labels.groupBy("label").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("label").asc).limit(20)
