@@ -239,7 +239,43 @@ object StreamingOps {
     runToTable(enriched, "complete")
   }
 
+  /** Streaming CDC materialization — the incremental twin of q190's
+    * batch apply. The changelog head per key is maintained IN the
+    * stream as one max(struct(ts, event_id, op, bal)) aggregate: state
+    * is exactly one struct per live key (bounded by key cardinality,
+    * not stream length), updated per micro-batch with map-side combine
+    * — the upsert-view posture of a streaming sink compacting CDC into
+    * a serving table. The snapshot merge itself stays a batch full-outer
+    * join over the drained heads (merging against a 100 TB snapshot
+    * inside every micro-batch would re-read it per batch; real
+    * deployments run exactly this split: incremental head maintenance,
+    * periodic merge). Oracle: identical to q190 — stream == batch. */
+  def streamCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val heads = streamEvents(s, dir)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id").as("key"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        floor(col("value") * 100).cast("long").as("new_bal"))
+      .groupBy("key")
+      .agg(max(struct(col("ts"), col("event_id"), col("op"),
+        col("new_bal"))).as("h"))
+      .select(col("key"), col("h.op").as("op"), col("h.new_bal").as("new_bal"))
+    val latest = runToTable(heads, "complete")
+    val snap = graft.Tables.table(s, dir, "customer")
+      .select(col("c_custkey").as("key"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    snap.join(latest, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        when(col("op").isNotNull, col("new_bal")).otherwise(col("bal_cents"))
+          .as("bal_cents"),
+        when(col("op").isNotNull, lit("chg")).otherwise(lit("snap"))
+          .as("src"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q195_stream_cdc_apply" -> ((s, d) => streamCdcApply(s, d)),
     "q52_stream_window" -> ((s, d) => windowedAgg(s, d)),
     "q53_stream_dedup" -> ((s, d) => streamingDedup(s, d)),
     "q66_stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
@@ -252,6 +288,32 @@ object StreamingOps {
       ((s, d) => StateProfile.streamStateProfile(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // Stream == batch: identical to q190's batch CDC apply.
+    "q195_stream_cdc_apply" ->
+      """WITH ch AS (
+           SELECT user_id AS key, epoch_ns(ts) AS t, event_id,
+                  CASE WHEN event_type = 'purchase' THEN 'D'
+                       ELSE 'U' END AS op,
+                  CAST(floor(value * 100) AS BIGINT) AS new_bal
+           FROM events WHERE event_type <> 'error'),
+         latest AS (
+           SELECT key, op, new_bal FROM (
+             SELECT key, op, new_bal,
+                    row_number() OVER (PARTITION BY key
+                                       ORDER BY t DESC, event_id DESC) AS rn
+             FROM ch)
+           WHERE rn = 1),
+         snap AS (
+           SELECT c_custkey AS key,
+                  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer)
+         SELECT COALESCE(s.key, l.key) AS key,
+                CASE WHEN l.op IS NOT NULL THEN l.new_bal
+                     ELSE s.bal_cents END AS bal_cents,
+                CASE WHEN l.op IS NOT NULL THEN 'chg'
+                     ELSE 'snap' END AS src
+         FROM snap s FULL OUTER JOIN latest l ON s.key = l.key
+         WHERE l.op IS NULL OR l.op <> 'D'""",
     // Stream == batch: the transformWithState profile equals the plain
     // group-by over the same events.
     "q138_stream_state_profile" ->

@@ -189,6 +189,36 @@ class Wave13Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"a one-row diff must touch <=2 buckets, got $changed")
   }
 
+  test("q188 production hash variant (xxhash64) keeps invariance and " +
+    "localization without md5's per-row string cost") {
+    // The query pins md5 ONLY because the DuckDB oracle must compute
+    // identical hashes; a deployment swaps in codegen'd xxhash64 over
+    // the same canonical columns. The checksum properties are hash-
+    // agnostic — pin them for the fast variant too.
+    val li = graft.Tables.table(spark, sf, "lineitem")
+    def sums(df: org.apache.spark.sql.DataFrame) = {
+      val hv = abs(xxhash64(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate")))
+      df.select((hv % 64).as("bucket"), (hv % 1000000007L).as("res"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), (sum("res") % 1000000007L).as("s"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    val base = sums(li)
+    assert(sums(li.repartition(5, col("l_suppkey"))) == base)
+    val victim = li.select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").head()
+    val after = sums(li.withColumn("l_returnflag",
+      when(col("l_orderkey") === victim.getLong(0)
+          && col("l_linenumber") === victim.getInt(1), lit("Z"))
+        .otherwise(col("l_returnflag"))))
+    val changed = (base.keySet ++ after.keySet)
+      .filter(b => base.get(b) != after.get(b))
+    assert(changed.nonEmpty && changed.size <= 2)
+  }
+
   // ---- q189: incremental view maintenance -----------------------------
 
   test("q189 delta-rule maintenance equals the direct full recompute") {

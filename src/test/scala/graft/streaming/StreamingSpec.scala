@@ -63,6 +63,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming CDC apply == batch CDC apply (q190)") {
+    val streamed = graft.SparkEntry.queries("q195_stream_cdc_apply")(
+      spark, sf).collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("q190_cdc_apply")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream left outer: matched rows == batch interval join, " +
     "null rows only for watermark-evicted unmatched clicks") {
     val rows = StreamingOps.streamLeftOuter(spark, sf).collect()
