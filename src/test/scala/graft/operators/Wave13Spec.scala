@@ -121,6 +121,81 @@ class Wave13Spec extends AnyFunSuite with BeforeAndAfterAll {
       "windows must partition by user, never globally")
   }
 
+  test("interval merge matches brute force on seeded random frames " +
+    "(touching boundaries, duplicate timestamps)") {
+    import spark.implicits._
+    val ivLen = 100L
+    val rnd = new scala.util.Random(71)
+    (1 to 4).foreach { trial =>
+      // small time domain forces exact-touch (t == prevEnd) boundaries
+      // and duplicate timestamps per user — the tie/adjacency edge cases
+      val rows = (1 to 300).map { i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(40) * 50L, i.toLong)
+      }
+      val ev = rows.toDF("user_id", "ts", "event_id")
+      val byTime = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prevEnd = max("iv_end")
+        .over(byTime.rowsBetween(org.apache.spark.sql.expressions
+          .Window.unboundedPreceding, -1))
+      val got = ev.withColumn("iv_end", col("ts") + lit(ivLen))
+        .withColumn("ni",
+          when(prevEnd.isNull || col("ts") > prevEnd, 1L).otherwise(0L))
+        .withColumn("island", sum("ni").over(byTime.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "island")
+        .agg(min("ts").as("s"), max(col("iv_end")).as("e"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("e") - col("s")).as("cov"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (u, rs) =>
+        var islands = List.empty[(Long, Long)]
+        rs.map(_._2).sorted.foreach { t =>
+          islands match {
+            case (s0, e0) :: rest if t <= e0 =>
+              islands = (s0, math.max(e0, t + ivLen)) :: rest
+            case _ => islands = (t, t + ivLen) :: islands
+          }
+        }
+        u -> ((islands.length.toLong,
+          islands.map { case (s0, e0) => e0 - s0 }.sum))
+      }
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("CDC apply matches reference on seeded random changelogs " +
+    "(same-key op flips, seq ties broken by event id)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    (1 to 4).foreach { trial =>
+      val snap = (0L to 20L).map(k => (k, k * 10)).toDF("key", "bal_cents")
+      // duplicate (key, ts) rows force the event_id tie-break
+      val chRows = (1 to 200).map { i =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(10).toLong, i.toLong,
+          if (rnd.nextBoolean()) "D" else "U", rnd.nextInt(1000).toLong)
+      }
+      val ch = chRows.toDF("key", "ts", "event_id", "op", "new_bal")
+      val byKey = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("ts").desc, col("event_id").desc)
+      val latest = ch.withColumn("rn", row_number().over(byKey))
+        .filter(col("rn") === 1).select("key", "op", "new_bal")
+      val got = snap.join(latest, Seq("key"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("key"),
+          when(col("op").isNotNull, col("new_bal"))
+            .otherwise(col("bal_cents")).as("bal"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val heads = chRows.groupBy(_._1).view
+        .mapValues(_.maxBy(e => (e._2, e._3))).toMap
+      val want = ((0L to 20L).map(k => k -> k * 10).toMap ++
+        heads.view.mapValues(h => h._5).toMap)
+        .filter { case (k, _) => !heads.get(k).exists(_._4 == "D") }
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   // ---- q187: frontier BFS ---------------------------------------------
 
   test("q187 equals a reference BFS traversal of the collected graph") {
