@@ -118,6 +118,8 @@ object GraftFunctions {
       "array_dot", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", es => NfcNormalize(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "aho_match", es => AhoMatch(es.head, es(1)), "built-in")
   }
 
   private[functions] val info = new ExpressionInfo(
@@ -132,6 +134,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.injection)
     ext.injectFunction(NfcNormalize.injection)
+    ext.injectFunction(AhoMatch.injection)
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
