@@ -793,6 +793,60 @@ object ScaleProbe {
           .withColumn("rn", row_number().over(Window.partitionBy("id")
             .orderBy(col("cnt").desc, col("label").asc)))
           .filter(col("rn") === 1)
+      }),
+      "segment_dedup" -> (k => {
+        // q196's shape: segment explode + corpus-wide keep-first window
+        // keyed on the segment. Segments scale linearly with docs.
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        val segs = scaled("documents", k, "doc_id")
+          .select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, int(ceil(size(t) / 20.0)) - 1),
+               i -> array_join(slice(t, i * 20 + 1, 20), ' '))""")))
+          .toDF("doc_id", "seg_idx", "seg")
+        segs.withColumn("rn", row_number().over(Window.partitionBy("seg")
+            .orderBy(col("doc_id"), col("seg_idx"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_segs"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      }),
+      "contamination_frac" -> (k => {
+        // q198's shape: distinct 5-grams + broadcast bench join. The
+        // bench side grows with k too (worst case for the broadcast).
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        val grams = scaled("documents", k, "doc_id")
+          .select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(t) - 5),
+               i -> array_join(slice(t, i + 1, 5), ' '))""")).as("g"))
+          .distinct()
+        val bench = grams.filter(col("doc_id") % 97 === 0)
+          .select("g").distinct().withColumn("hit", lit(1L))
+        grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      }),
+      "kcore_round" -> (k => {
+        // q199's per-round body: degree count + two survivor joins.
+        val eo = scaled("lineitem", k, "l_orderkey", "l_suppkey")
+          .join(scaled("orders", k, "o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = eo.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 30)
+          .select(col("src").as("id"))
+        edges.join(keep.select(col("id").as("src")), "src")
+          .join(keep.select(col("id").as("dst")), "dst")
       }))
 
     def time(df: DataFrame): Double = {

@@ -21,13 +21,15 @@ object SparkEntry {
     RelationalOps.queries ++ TextOps.queries ++ VectorOps.queries ++
       GraphOps.queries ++ MultimodalOps.queries ++ WikitextOps.queries ++
       AnalyticsOps.queries ++ AuditOps.queries ++ Wave8Ops.queries ++
-      Wave13Ops.queries ++ Wave14Ops.queries ++
+      Wave13Ops.queries ++ Wave14Ops.queries ++ Wave15Ops.queries ++
+      Wave16Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
       GraphOps.oracle ++ MultimodalOps.oracle ++ WikitextOps.oracle ++
       AnalyticsOps.oracle ++ AuditOps.oracle ++ Wave8Ops.oracle ++
-      Wave13Ops.oracle ++ Wave14Ops.oracle ++
+      Wave13Ops.oracle ++ Wave14Ops.oracle ++ Wave15Ops.oracle ++
+      Wave16Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -12,13 +12,49 @@ import org.apache.spark.sql.graft.PlanApi
   * row with the same key has `rightTime <= leftTime`). Key columns must
   * exist under the same names on both sides; rename right-side value
   * columns beforehand if they collide with left's.
+  *
+  * `direction` selects which side of the left time to search:
+  *  - `"backward"` (default): the right row with the GREATEST
+  *    `rightTime <= leftTime` — DuckDB `ASOF ... ON l.t >= r.t`.
+  *  - `"forward"`: the right row with the SMALLEST
+  *    `rightTime >= leftTime` — DuckDB `ASOF ... ON l.t <= r.t`.
+  *    Implemented as the algebraic reduction to backward on negated
+  *    time (max of −t ⇔ min of t), so both directions run through the
+  *    same sorted-merge exec and cost the same two key exchanges.
+  *    Requires a numeric time column (the ns/µs-since-epoch longs the
+  *    engine canonicalizes to; Long.MinValue is not a legal time).
+  *    Tie-break semantics are direction-independent: among right rows
+  *    with the SAME matched time, the last one in ascending `tieBreak`
+  *    order wins.
   */
 object AsOf {
 
   def join(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = direction match {
+    case "backward" => joinBackward(left, right, keys, leftTime, rightTime,
+      tieBreak)
+    case "forward" =>
+      import org.apache.spark.sql.functions.col
+      // withColumn resolves names with the session's case-sensitivity,
+      // same as the backward path's resolver below
+      val lNeg = "__asof_fwd_lt"
+      val rNeg = "__asof_fwd_rt"
+      joinBackward(
+        left.withColumn(lNeg, -col(leftTime)),
+        right.withColumn(rNeg, -col(rightTime)),
+        keys, lNeg, rNeg, tieBreak)
+        .drop(lNeg, rNeg)
+    case other => throw new IllegalArgumentException(
+      s"as-of direction must be 'backward' or 'forward', got '$other'")
+  }
+
+  private def joinBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      tieBreak: Seq[String]): DataFrame = {
     // ClusteredDistribution(Nil) fails deep inside planning; surface the
     // misuse here instead (a keyless as-of is a plain latest-event scan)
     require(keys.nonEmpty, "as-of join requires at least one key column")
