@@ -45,6 +45,18 @@ def main():
     names = sorted(d for d in os.listdir(OUT)
                    if os.path.isdir(os.path.join(OUT, d)))
     n_pass = n_fail = n_noora = 0
+    # a query that threw left a .ERROR.json instead of a result dir —
+    # count it as a red row (mirrors the driver; round 4's breakage was
+    # invisible precisely because thrown queries vanished from the list)
+    for errfile in sorted(f for f in os.listdir(OUT)
+                          if f.endswith(".ERROR.json")):
+        name = errfile.removesuffix(".ERROR.json")
+        try:
+            msg = json.load(open(os.path.join(OUT, errfile)))["error"]
+        except Exception:
+            msg = "(unreadable error artifact)"
+        print(f"FAIL {name}: query threw: {msg[:200]}")
+        n_fail += 1
     for dirname in names:
         name = dirname.removesuffix(".parquet")
         files = glob.glob(f"{OUT}/{dirname}/*.parquet")
