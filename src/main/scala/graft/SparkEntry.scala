@@ -22,7 +22,7 @@ object SparkEntry {
       GraphOps.queries ++ MultimodalOps.queries ++ WikitextOps.queries ++
       AnalyticsOps.queries ++ AuditOps.queries ++ Wave8Ops.queries ++
       Wave13Ops.queries ++ Wave14Ops.queries ++ Wave15Ops.queries ++
-      Wave16Ops.queries ++ Wave17Ops.queries ++
+      Wave16Ops.queries ++ Wave17Ops.queries ++ Wave18Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -30,6 +30,6 @@ object SparkEntry {
       GraphOps.oracle ++ MultimodalOps.oracle ++ WikitextOps.oracle ++
       AnalyticsOps.oracle ++ AuditOps.oracle ++ Wave8Ops.oracle ++
       Wave13Ops.oracle ++ Wave14Ops.oracle ++ Wave15Ops.oracle ++
-      Wave16Ops.oracle ++ Wave17Ops.oracle ++
+      Wave16Ops.oracle ++ Wave17Ops.oracle ++ Wave18Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -30,9 +30,14 @@ object Verify {
     * query.) */
   def runOne(spark: SparkSession, sfDir: String, outDir: String,
       name: String, fn: (SparkSession, String) => DataFrame): Unit = {
-    try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/$name.parquet")
-    catch { case e: Throwable =>
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+      // A stale red artifact from an earlier failed run must not shadow
+      // this success (overwrite mode replaces the parquet dir but knows
+      // nothing about the sibling error file).
+      Files.deleteIfExists(Paths.get(s"$outDir/$name.ERROR.json"))
+    } catch { case e: Throwable =>
       System.err.println(s"[verify] $name failed: ${e.getMessage}")
       // An execution-time failure (vs analysis-time) leaves a partial
       // result directory (_temporary staging, no committed parquet) —
