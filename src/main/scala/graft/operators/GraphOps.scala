@@ -70,15 +70,44 @@ object GraphOps {
     * materialized frame, not an ever-deepening lineage. */
   def connectedComponents(
       edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // coalesce(0): an EMPTY edge set (a corpus with no duplicate pairs
+    // this run — legitimate at small scale) must yield an empty result,
+    // not a null-sum crash in the convergence probe.
+    def probe(df: DataFrame): Long =
+      df.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
+    // Pointer jumping (path halving): after each hash-min round,
+    // comp(n) ← comp(comp(n)). Hash-min alone moves the component
+    // minimum ONE hop per round — O(diameter) rounds, and a chain-y
+    // graph (e.g. edit-distance-1 name chains in q217) pays tens of
+    // driver-probed iterations. The jump composes the current labeling
+    // with itself, halving every chain, so convergence is O(log
+    // diameter). comp values are always node ids of the same component
+    // (min over a neighborhood closure), so the self-join resolves;
+    // left_outer+coalesce keeps the row if a label has no own entry.
+    def jump(c: DataFrame): DataFrame =
+      c.join(c.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("comp") === col("cid"), "left_outer")
+        .select(col("id"),
+          coalesce(col("ccomp"), col("comp")).as("comp"))
+    // localCheckpoint (eager), not persist: `jump` references the
+    // round's frame TWICE, so with plain persist the logical plan
+    // doubles every round — exponential analyzer/optimizer blowup that
+    // OOMs the driver near round ~30 even on tiny data (persist caches
+    // rows, not lineage). Checkpointing truncates the plan to a leaf,
+    // keeping per-round planning O(1). Executor-local storage is the
+    // right trade for a convergence loop (re-derivable on loss); a
+    // 1000-executor deployment with long jobs would point
+    // spark.checkpoint.dir at reliable storage and use checkpoint().
     val adj = adjSelf(edges)
-    var comp = nodesOf(adj).persist()
-    var prevSum = comp.agg(sum("comp")).head().getLong(0)
+    var comp = nodesOf(adj).localCheckpoint(true)
+    var prevSum = probe(comp)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = step(comp, adj).persist()
-      val s = next.agg(sum("comp")).head().getLong(0)
-      comp.unpersist()
+      val stepped = step(comp, adj).persist()
+      val next = jump(stepped).localCheckpoint(true)
+      val s = probe(next)
+      stepped.unpersist()
       comp = next
       converged = s == prevSum
       prevSum = s

@@ -30,7 +30,7 @@ object TextOps {
     "transform(sequence(0, size(tokens) - 3), i -> concat_ws(' ', slice(tokens, i + 1, 3)))"
 
   /** Per-doc exploded shingle rows: (doc_id, shingle). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[operators] def shingled(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
       .withColumn("tokens", words(col("text")))
       .filter(size(col("tokens")) >= 3)
@@ -41,7 +41,7 @@ object TextOps {
     * hashes — one hash evaluation instead of four). min() over content
     * hashes is order-independent and shuffle-free up to the per-doc
     * partial aggregation (map-side combine). */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val h = md5(col("shingle"))
     shingled(s, d)
       .groupBy("doc_id")

@@ -88,6 +88,26 @@ object StreamingOps {
     runToTable(agg, "complete")
   }
 
+  /** SLIDING event-time windows: 1-hour windows advancing every 15
+    * minutes, so each event lands in exactly 4 overlapping windows —
+    * the continuously-updating dashboards shape tumbling windows (q52)
+    * cannot express. State is (window)-keyed and watermark-bounded;
+    * integer cents keep the overlapping sums order-independent under
+    * any micro-batch split. The batch oracle unnests each event onto
+    * its 4 aligned window starts — stream == batch. */
+  def slidingWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val agg = streamEvents(s, dir)
+      .withColumn("etime", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("etime", "1 hour")
+      .groupBy(window(col("etime"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n"), col("cents"))
+    runToTable(agg, "complete")
+  }
+
   /** Streaming stateful dedup (dropDuplicates over an unbounded key
     * stream). */
   def streamingDedup(s: SparkSession, dir: String): DataFrame = {
@@ -277,6 +297,7 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "q195_stream_cdc_apply" -> ((s, d) => streamCdcApply(s, d)),
     "q52_stream_window" -> ((s, d) => windowedAgg(s, d)),
+    "q219_stream_sliding" -> ((s, d) => slidingWindowAgg(s, d)),
     "q53_stream_dedup" -> ((s, d) => streamingDedup(s, d)),
     "q66_stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "q167_stream_left_outer" -> ((s, d) => streamLeftOuter(s, d)),
@@ -328,6 +349,20 @@ object StreamingOps {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // Each event contributes to exactly its 4 epoch-aligned sliding
+    // windows: starts (sec div 900 − k)·900 for k = 0..3.
+    "q219_stream_sliding" ->
+      """WITH pts AS (
+           SELECT epoch_ns(ts) // 1000000000 AS sec,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         wins AS (
+           SELECT ((sec // 900) - k) * 900 AS w_sec, cents
+           FROM pts, (SELECT unnest(range(4)) AS k))
+         SELECT strftime(make_timestamp(w_sec * 1000000),
+                         '%Y-%m-%d %H:%M:%S') AS w_start,
+                count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+         FROM wins GROUP BY 1""",
     "q53_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // Same distinct: over an AvailableNow drain every duplicate lands in
