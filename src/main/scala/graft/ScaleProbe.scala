@@ -847,13 +847,96 @@ object ScaleProbe {
           .select(col("src").as("id"))
         edges.join(keep.select(col("id").as("src")), "src")
           .join(keep.select(col("id").as("dst")), "dst")
+      }),
+
+      "er_pair_verify" -> (k => {
+        // q217's blocking + verify stage. Names get a per-copy 8-hex
+        // tag so cross-copy edit distance stays > 1 — pair work scales
+        // WITH the corpus instead of quadratically across copies
+        // (plain replication would put k copies of every name in the
+        // same deletion bucket).
+        val recs = (0 until k).map { i =>
+          base("supplier").select(
+            (col("s_suppkey") + lit(i * Offset)).as("id"),
+            concat(lower(col("s_name")), lit(" "),
+              lit(java.security.MessageDigest.getInstance("MD5")
+                .digest(i.toString.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString.take(8))).as("nm"))
+        }.reduce(_ unionByName _)
+        val variants = recs.select(col("id"), col("nm"), explode(expr(
+          """array_union(array(nm), transform(sequence(1, length(nm)),
+             i -> concat(substring(nm, 1, i - 1),
+                         substring(nm, i + 1, length(nm) - i))))"""
+          )).as("variant"))
+        val a = variants.select(col("variant"), col("id").as("a_id"),
+          col("nm").as("a_nm"))
+        val b = variants.select(col("variant"), col("id").as("b_id"),
+          col("nm").as("b_nm"))
+        a.join(b, "variant").filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "a_nm", "b_nm").distinct()
+          .filter(levenshtein(col("a_nm"), col("b_nm")) <= 1)
+      }),
+
+      "cc_converge" -> (k => {
+        // The pointer-jumping CC loop on k disjoint 512-node chains —
+        // the worst diameter shape. Rounds are O(log 512) regardless
+        // of k, so wall ratio ≈ data ratio; the pre-jump hash-min
+        // would pay 512 rounds here and never finish the probe.
+        val chains = spark.range(k.toLong)
+          .select(explode(expr("sequence(1, 511)")).as("pos"),
+            (col("id") * Offset).as("off"))
+          .select((col("pos") + col("off")).as("a_id"),
+            (col("pos") + col("off") + 1).as("b_id"))
+        graft.operators.GraphOps.connectedComponents(chains)
+      }),
+
+      "value_overlap" -> (k => {
+        // q222's pair stage: distinct value sets equi-joined on the
+        // value; posting lists bounded by the profiled-column count.
+        val cols = Seq(
+          ("customer", "c_custkey"), ("orders", "o_custkey"),
+          ("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
+        val vals = cols.map { case (t, c) =>
+          scaled(t, k, c).select(col(c).cast("long").as("v")).distinct()
+            .select(lit(s"$t.$c").as("col_name"), col("v"))
+        }.reduce(_ unionByName _)
+        val a = vals.select(col("col_name").as("col_a"), col("v"))
+        val b = vals.select(col("col_name").as("col_b"), col("v"))
+        a.join(b, "v").filter(col("col_a") < col("col_b"))
+          .groupBy("col_a", "col_b").agg(count(lit(1)).as("n_inter"))
+      }),
+
+      "cdc_chunk" -> (k => {
+        // q223's chunk split + rollup. Replicated docs multiply group
+        // occupancy, not group count — the rollup stays map-side
+        // combined either way.
+        scaled("documents", k, "doc_id")
+          .select(col("doc_id"), col("text"),
+            length(col("text")).as("len"))
+          .withColumn("cuts", expr(
+            """array_sort(concat(array(1),
+                 filter(sequence(2, greatest(2, len - 3)),
+                   i -> i <= len - 3 AND
+                     CAST(conv(substring(md5(substring(text, i, 4)),
+                          1, 4), 16, 10) AS BIGINT) % 37 = 0)))"""))
+          .select(col("doc_id"), explode(expr(
+            """zip_with(cuts,
+                 concat(slice(cuts, 2, size(cuts) - 1), array(len + 1)),
+                 (st, en) -> substring(text, st, en - st))"""))
+            .as("chunk"))
+          .groupBy("chunk")
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"))
       }))
 
-    def time(df: DataFrame): Double = {
+    def time(df: => DataFrame): Double = {
       // same hygiene as Bench: drop caches and drain the shuffle/
       // broadcast cleanup backlog OUTSIDE the timed window, so a
       // cleanup storm from earlier probes can't land mid-measurement
-      // (observed inflating late probes ~3×).
+      // (observed inflating late probes ~3×). BY-NAME df: probes that
+      // run driver-side loops eagerly at construction (cc_converge's
+      // convergence loop) must construct INSIDE the timed window or
+      // the probe measures only the final count.
       spark.sharedState.cacheManager.clearCache()
       System.gc()
       val t0 = System.nanoTime()
