@@ -927,6 +927,62 @@ object ScaleProbe {
           .groupBy("chunk")
           .agg(count(lit(1)).as("n_occ"),
             countDistinct(col("doc_id")).as("n_docs"))
+      }),
+
+      "rank_metric_hist" -> (k => {
+        // q228/q229's backbone: corpus → per-distinct-score histogram
+        // → domain-sized cumulative window. Replication multiplies
+        // histogram OCCUPANCY, not the domain, so the single-partition
+        // window stays constant-size and only the map-side-combined
+        // histogram build scales — ratio should track the scan.
+        val ev = scaled("events", k, "event_id").select(
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+          expr("CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0" +
+            " END AS BIGINT)").as("pos"))
+        val h = ev.groupBy("cents")
+          .agg(sum("pos").as("pos_s"), sum(expr("1 - pos")).as("neg_s"))
+        val below = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("cnb", coalesce(sum("neg_s").over(below), lit(0L)))
+          .agg(sum(expr("pos_s * (2 * cnb + neg_s)")).as("u2"),
+            sum("pos_s").as("n_pos"), sum("neg_s").as("n_neg"))
+      }),
+
+      "pct_rank_join" -> (k => {
+        // q232's write-back: the domain-sized rank map broadcast-joins
+        // onto a corpus that scales ×k — the join probe for the
+        // normalize-then-write-back pattern.
+        val ev = scaled("events", k, "event_id").select(col("event_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        val hist = ev.groupBy("cents").agg(count(lit(1)).as("n_c"))
+        val below = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = hist.withColumn("cum_below",
+          coalesce(sum("n_c").over(below), lit(0L)))
+        val tot = ev.agg(count(lit(1)).as("n"))
+        ev.join(broadcast(cum.select("cents", "cum_below")), "cents")
+          .crossJoin(broadcast(tot))
+          .select(col("event_id"),
+            expr("cum_below * 1000000L div n").as("pct_ppm"))
+      }),
+
+      "bootstrap_resample" -> (k => {
+        // q234's resample: pure-map ×20 fan-out + 20-row rollup.
+        // Strictly linear by construction; the probe guards against
+        // the explode accidentally planning a shuffle.
+        scaled("events", k, "event_id").select(col("event_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+          .select(col("event_id"), col("cents"),
+            explode(expr("sequence(0L, 19L)")).as("rep"))
+          .withColumn("u", expr(
+            "CAST(conv(substring(md5(CAST(event_id * 20 + rep" +
+              " AS STRING)), 1, 13), 16, 10) AS BIGINT) % 1000000"))
+          .withColumn("w", expr(
+            "CASE WHEN u < 367879 THEN 0L WHEN u < 735759 THEN 1L" +
+              " WHEN u < 919699 THEN 2L WHEN u < 981012 THEN 3L" +
+              " WHEN u < 996340 THEN 4L ELSE 5L END"))
+          .groupBy("rep")
+          .agg(sum(expr("w * cents")).as("wsum"), sum("w").as("wn"))
       }))
 
     def time(df: => DataFrame): Double = {
