@@ -24,7 +24,7 @@ object SparkEntry {
       Wave13Ops.queries ++ Wave14Ops.queries ++ Wave15Ops.queries ++
       Wave16Ops.queries ++ Wave17Ops.queries ++ Wave18Ops.queries ++
       Wave19Ops.queries ++ Wave20Ops.queries ++ Wave21Ops.queries ++
-      Wave22Ops.queries ++ Wave23Ops.queries ++
+      Wave22Ops.queries ++ Wave23Ops.queries ++ Wave24Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -34,6 +34,6 @@ object SparkEntry {
       Wave13Ops.oracle ++ Wave14Ops.oracle ++ Wave15Ops.oracle ++
       Wave16Ops.oracle ++ Wave17Ops.oracle ++ Wave18Ops.oracle ++
       Wave19Ops.oracle ++ Wave20Ops.oracle ++ Wave21Ops.oracle ++
-      Wave22Ops.oracle ++ Wave23Ops.oracle ++
+      Wave22Ops.oracle ++ Wave23Ops.oracle ++ Wave24Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
