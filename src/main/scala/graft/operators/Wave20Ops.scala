@@ -104,11 +104,23 @@ object Wave20Ops {
     // with the same downstream shape; this is the exact baseline a
     // sketch variant is validated against.
     "q222_joinable_columns" -> ((s, d) => {
-      val vals = ProfiledCols.map { case (t, c) =>
-        table(s, d, t)
-          .select(col(c).cast("long").as("v")).distinct()
-          .select(lit(s"$t.$c").as("col_name"), col("v"))
-      }.reduce(_ unionByName _)
+      // ONE scan per table (its profiled columns stacked map-side into
+      // (col_name, v) pairs) + ONE global distinct shuffle — measured
+      // 2.9 → 2.3 s vs the original per-column-distinct formulation,
+      // which planned 11 separate scan+distinct stages before the
+      // union; at lakehouse column counts the stage-count saving is
+      // the difference between O(columns) and O(tables) scheduling.
+      // Same output set: distinct over stacked pairs ≡ the union of
+      // per-column distincts.
+      val vals = ProfiledCols.groupBy(_._1).toSeq.map { case (t, tc) =>
+        table(s, d, t).select(explode(array(tc.map { case (_, c) =>
+          struct(lit(s"$t.$c").as("col_name"),
+            col(c).cast("long").as("v"))
+        }: _*)).as("p")).select(col("p.col_name"), col("p.v"))
+      }.reduce(_ unionByName _).distinct()
+      // NOT persisted: ReuseExchange already shares the distinct's
+      // shuffle across the 3 consumers; an explicit persist measured
+      // SLOWER (2.3 → 2.8 s) — the cache write outweighs the reuse.
       val sizes = vals.groupBy("col_name").agg(count(lit(1)).as("n"))
       val a = vals.select(col("col_name").as("col_a"), col("v"))
       val b = vals.select(col("col_name").as("col_b"), col("v"))
