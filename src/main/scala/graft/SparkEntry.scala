@@ -26,7 +26,7 @@ object SparkEntry {
       Wave19Ops.queries ++ Wave20Ops.queries ++ Wave21Ops.queries ++
       Wave22Ops.queries ++ Wave23Ops.queries ++ Wave24Ops.queries ++
       Wave25Ops.queries ++ Wave26Ops.queries ++ Wave27Ops.queries ++
-      Wave28Ops.queries ++ Wave29Ops.queries ++
+      Wave28Ops.queries ++ Wave29Ops.queries ++ Wave30Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -38,6 +38,6 @@ object SparkEntry {
       Wave19Ops.oracle ++ Wave20Ops.oracle ++ Wave21Ops.oracle ++
       Wave22Ops.oracle ++ Wave23Ops.oracle ++ Wave24Ops.oracle ++
       Wave25Ops.oracle ++ Wave26Ops.oracle ++ Wave27Ops.oracle ++
-      Wave28Ops.oracle ++ Wave29Ops.oracle ++
+      Wave28Ops.oracle ++ Wave29Ops.oracle ++ Wave30Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
