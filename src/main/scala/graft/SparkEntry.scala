@@ -27,7 +27,7 @@ object SparkEntry {
       Wave22Ops.queries ++ Wave23Ops.queries ++ Wave24Ops.queries ++
       Wave25Ops.queries ++ Wave26Ops.queries ++ Wave27Ops.queries ++
       Wave28Ops.queries ++ Wave29Ops.queries ++ Wave30Ops.queries ++
-      Wave31Ops.queries ++ Wave32Ops.queries ++
+      Wave31Ops.queries ++ Wave32Ops.queries ++ Wave33Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -40,6 +40,6 @@ object SparkEntry {
       Wave22Ops.oracle ++ Wave23Ops.oracle ++ Wave24Ops.oracle ++
       Wave25Ops.oracle ++ Wave26Ops.oracle ++ Wave27Ops.oracle ++
       Wave28Ops.oracle ++ Wave29Ops.oracle ++ Wave30Ops.oracle ++
-      Wave31Ops.oracle ++ Wave32Ops.oracle ++
+      Wave31Ops.oracle ++ Wave32Ops.oracle ++ Wave33Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
