@@ -294,7 +294,32 @@ object StreamingOps {
           .as("src"))
   }
 
+  /** Streaming drift monitor: per 6-hour event-time window, the value
+    * histogram over PINNED reference bins (width 5000 cents — a drift
+    * monitor ships its reference-period bin edges as constants, so a
+    * window's distribution is comparable across deploys and engines;
+    * recomputing edges per window would make drift unmeasurable).
+    * State is (window, bin)-keyed — ≤ ~12 bins × open windows,
+    * watermark-bounded. The batch oracle runs the identical grouping;
+    * stream == batch under AvailableNow. The chi-square comparison
+    * against the reference shares is q226's batch recipe applied to
+    * this output downstream. */
+  def streamDriftMonitor(s: SparkSession, dir: String): DataFrame = {
+    val agg = streamEvents(s, dir)
+      .withColumn("etime", timestamp_seconds(expr("ts div 1000000000")))
+      .withColumn("bin",
+        expr("CAST(floor(value * 100) AS BIGINT) div 5000"))
+      .withWatermark("etime", "1 hour")
+      .groupBy(window(col("etime"), "6 hours").as("w"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("bin"), col("n"))
+    runToTable(agg, "complete")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q249_stream_drift" -> ((s, d) => streamDriftMonitor(s, d)),
     "q195_stream_cdc_apply" -> ((s, d) => streamCdcApply(s, d)),
     "q52_stream_window" -> ((s, d) => windowedAgg(s, d)),
     "q219_stream_sliding" -> ((s, d) => slidingWindowAgg(s, d)),
@@ -309,6 +334,13 @@ object StreamingOps {
       ((s, d) => StateProfile.streamStateProfile(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q249_stream_drift" ->
+      """SELECT strftime(make_timestamp(
+                  (epoch_ns(ts) // 21600000000000) * 21600000000),
+                '%Y-%m-%d %H:%M:%S') AS w_start,
+              CAST(floor(value * 100) AS BIGINT) // 5000 AS bin,
+              count(*) AS n
+         FROM events GROUP BY 1, 2""",
     // Stream == batch: identical to q190's batch CDC apply.
     "q195_stream_cdc_apply" ->
       """WITH ch AS (

@@ -44,6 +44,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming drift monitor == batch histogram (q249)") {
+    val streamed = StreamingOps.streamDriftMonitor(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val nsPer6h = 21600L * 1000 * 1000 * 1000
+    val batch = graft.Tables.table(spark, sf, "events")
+      .withColumn("w_start", date_format(
+        timestamp_seconds(expr(s"ts div $nsPer6h") * 21600L),
+        "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("bin",
+        expr("CAST(floor(value * 100) AS BIGINT) div 5000"))
+      .groupBy("w_start", "bin").agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup == batch distinct") {
     val streamed = StreamingOps.streamingDedup(spark, sf)
       .collect().map(_.toSeq).toSet
