@@ -28,6 +28,7 @@ object SparkEntry {
       Wave25Ops.queries ++ Wave26Ops.queries ++ Wave27Ops.queries ++
       Wave28Ops.queries ++ Wave29Ops.queries ++ Wave30Ops.queries ++
       Wave31Ops.queries ++ Wave32Ops.queries ++ Wave33Ops.queries ++
+      Wave34Ops.queries ++ Wave35Ops.queries ++ Wave36Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -41,5 +42,6 @@ object SparkEntry {
       Wave25Ops.oracle ++ Wave26Ops.oracle ++ Wave27Ops.oracle ++
       Wave28Ops.oracle ++ Wave29Ops.oracle ++ Wave30Ops.oracle ++
       Wave31Ops.oracle ++ Wave32Ops.oracle ++ Wave33Ops.oracle ++
+      Wave34Ops.oracle ++ Wave35Ops.oracle ++ Wave36Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
