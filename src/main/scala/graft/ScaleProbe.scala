@@ -983,6 +983,74 @@ object ScaleProbe {
               " WHEN u < 996340 THEN 4L ELSE 5L END"))
           .groupBy("rep")
           .agg(sum(expr("w * cents")).as("wsum"), sum("w").as("wn"))
+      }),
+
+      "fd_stack" -> (k => {
+        // q253/q254/q255's stacked-profiling class: one scan explodes
+        // the candidate set map-side, one grouped shuffle answers all
+        // candidates. Shifting o_custkey scales lhs-group COUNT (not
+        // just occupancy), so the distinct-y agg itself scales.
+        val pairs = for {
+          x <- Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+          y <- Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+          if x != y
+        } yield (x, y)
+        scaled("orders", k, "o_orderkey", "o_custkey")
+          .select(explode(array(pairs.map { case (x, y) =>
+            struct(lit(x).as("lhs"), lit(y).as("rhs"),
+              col(x).cast("string").as("xv"),
+              col(y).cast("string").as("yv"))
+          }: _*)).as("p")).select(col("p.*"))
+          .groupBy("lhs", "rhs", "xv")
+          .agg(countDistinct("yv").as("ndv_y"))
+          .groupBy("lhs", "rhs")
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("ndv_y") > 1, 1L).otherwise(0L)).as("n_viol"))
+      }),
+
+      "join_size_hist" -> (k => {
+        // q251's audit: two per-key histograms + a key-equi histogram
+        // join — the estimated join (|rows|² per hot key) is never
+        // materialized, so the probe must scale with the HISTOGRAM
+        // (k× keys after the user_id shift), not the join output.
+        val h = scaled("events", k, "event_id", "user_id")
+          .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("c"))
+        h.select(col("k"), col("c").as("cl"))
+          .join(h.select(col("k"), col("c").as("cr")), "k")
+          .agg(sum(expr("cl * cr")).as("actual_rows"),
+            count(lit(1)).as("ndv"))
+      }),
+
+      "ppr_round" -> (k => {
+        // One q256 propagation round on a k×-node graph (shifted keys
+        // replicate the bipartite components): share division, edge
+        // join, inflow agg, sparse teleport full-outer. Linear in |E|.
+        val eo = scaled("lineitem", k, "l_orderkey", "l_suppkey")
+          .join(scaled("orders", k, "o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = eo.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val seeds = scaled("customer", k, "c_custkey")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select((col("c_custkey") * 2).as("id"))
+        val rank = seeds.select(col("id"), lit(300000000L).as("r"))
+        val divided = rank.join(deg, rank("id") === deg("src"))
+          .select(col("src"), expr("r div deg").as("share"))
+        val seedFlag = seeds
+          .select(col("id").as("sid"), lit(1L).as("is_seed"))
+        edges.join(divided, "src")
+          .groupBy("dst").agg(sum("share").as("m"))
+          .join(seedFlag, col("dst") === col("sid"), "full_outer")
+          .select(coalesce(col("dst"), col("sid")).as("id"),
+            (expr("coalesce(m, 0L) * 85 div 100") +
+              when(col("is_seed").isNotNull, lit(45000000L))
+                .otherwise(lit(0L))).as("r"))
       }))
 
     def time(df: => DataFrame): Double = {
