@@ -31,7 +31,7 @@ object SparkEntry {
       Wave34Ops.queries ++ Wave35Ops.queries ++ Wave36Ops.queries ++
       Wave37Ops.queries ++ Wave38Ops.queries ++ Wave39Ops.queries ++
       Wave40Ops.queries ++ Wave41Ops.queries ++ Wave42Ops.queries ++
-      Wave43Ops.queries ++ Wave44Ops.queries ++
+      Wave43Ops.queries ++ Wave44Ops.queries ++ Wave45Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -48,6 +48,6 @@ object SparkEntry {
       Wave34Ops.oracle ++ Wave35Ops.oracle ++ Wave36Ops.oracle ++
       Wave37Ops.oracle ++ Wave38Ops.oracle ++ Wave39Ops.oracle ++
       Wave40Ops.oracle ++ Wave41Ops.oracle ++ Wave42Ops.oracle ++
-      Wave43Ops.oracle ++ Wave44Ops.oracle ++
+      Wave43Ops.oracle ++ Wave44Ops.oracle ++ Wave45Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
