@@ -1021,6 +1021,36 @@ object ScaleProbe {
             count(lit(1)).as("ndv"))
       }),
 
+      "ancestor_explode" -> (k => {
+        // q277's shape: per-node reduction, then the depth-bounded
+        // ancestor explode + rollup. Shifting user_id scales the NODE
+        // count; fan-out stays ≤ 21 per node regardless.
+        scaled("events", k, "event_id", "user_id")
+          .select((col("user_id") + 1).as("node"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+          .select(explode(expr(
+            "transform(sequence(0, 20), k -> shiftright(node, k))"))
+            .as("anc"), col("n_events"), col("cents"))
+          .filter(col("anc") >= 1)
+          .groupBy("anc")
+          .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      }),
+
+      "sketch_rollup" -> (k => {
+        // q278's level-0 shape: corpus → ≤K-long per-group KMV
+        // sketches (map-side combined — at most K longs per group per
+        // partition cross the wire, independent of group occupancy).
+        val kmv = udaf(new graft.functions.KmvMinK(64))
+        scaled("orders", k, "o_orderkey", "o_custkey")
+          .select((col("o_custkey") % 25).as("g"),
+            conv(substring(md5(col("o_custkey").cast("string")), 1, 13),
+              16, 10).cast("long").as("hv"))
+          .groupBy("g").agg(kmv(col("hv")).as("arr"))
+          .select(col("g"), size(col("arr")).as("sz"))
+      }),
+
       "ppr_round" -> (k => {
         // One q256 propagation round on a k×-node graph (shifted keys
         // replicate the bipartite components): share division, edge
