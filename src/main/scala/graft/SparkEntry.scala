@@ -32,7 +32,7 @@ object SparkEntry {
       Wave37Ops.queries ++ Wave38Ops.queries ++ Wave39Ops.queries ++
       Wave40Ops.queries ++ Wave41Ops.queries ++ Wave42Ops.queries ++
       Wave43Ops.queries ++ Wave44Ops.queries ++ Wave45Ops.queries ++
-      Wave46Ops.queries ++ Wave47Ops.queries ++
+      Wave46Ops.queries ++ Wave47Ops.queries ++ Wave48Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -50,6 +50,6 @@ object SparkEntry {
       Wave37Ops.oracle ++ Wave38Ops.oracle ++ Wave39Ops.oracle ++
       Wave40Ops.oracle ++ Wave41Ops.oracle ++ Wave42Ops.oracle ++
       Wave43Ops.oracle ++ Wave44Ops.oracle ++ Wave45Ops.oracle ++
-      Wave46Ops.oracle ++ Wave47Ops.oracle ++
+      Wave46Ops.oracle ++ Wave47Ops.oracle ++ Wave48Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
