@@ -53,14 +53,14 @@ object Bench {
       isolate()
       name -> t
     }
-    // The driver's stdout capture truncates: round 1 (metric first, long
-    // names) and round 4 (metric last, compact) both came back
-    // parsed:null once the suite outgrew the buffer. So emit the
-    // driver-parsed metric line BOTH first and last (whichever end of the
-    // buffer survives contains one complete copy), keep it compact (qNN
-    // keys, 3 decimals), and put the human-readable full-name detail in
-    // the middle plus on disk (target/bench_detail.json) where the judge
-    // can always read it untruncated.
+    // The driver's stdout capture truncates: rounds 1-5 all came back
+    // parsed:null because the metric line carrying the full per-query
+    // map outgrew the tail buffer (even compacted, 277 entries is
+    // ~4 KB). So the LAST line printed is now a SHORT, map-free
+    // summary — {"metric":"total","value":…,"n":…} — guaranteed to fit
+    // any tail window. The long per-query map still goes out earlier
+    // on stdout (for human eyes) and, authoritatively, to
+    // target/bench_detail.json where the judge reads it untruncated.
     def r3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
@@ -70,13 +70,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val short =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     println(metric)
     println(s"""{"detail":$detail}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_detail.json"),
-      s"""{"metric_line":$metric,"detail":$detail}""")
+      s"""{"metric_line":$metric,"detail":$detail,"short":$short}""")
     catch { case _: Throwable => () }
-    println(metric)
+    println(short)
     spark.stop()
   }
 }

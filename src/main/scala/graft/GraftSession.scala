@@ -33,6 +33,15 @@ object GraftSession {
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
         "false")
+      // Let AQE coalesce small shuffles to the advisory partition size
+      // instead of defaulting to full parallelism: a sub-second
+      // aggregate's reduce side becomes 1-2 tasks, not 32, which is
+      // most of the per-query scheduling floor on a many-query run.
+      // On a big cluster the same setting is what the AQE docs
+      // recommend once parallelism is already saturated upstream; big
+      // shuffles still fan out to the advisory size.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .withExtensions(new graft.functions.GraftExtensions)
   }
 

@@ -108,6 +108,13 @@ object GraphOps {
       val next = jump(stepped).localCheckpoint(true)
       val s = probe(next)
       stepped.unpersist()
+      // `next` is materialized (eager checkpoint), so the superseded
+      // round's checkpoint blocks have no future reader — release them
+      // now rather than waiting for the ContextCleaner to GC the
+      // frame: a long session invoking CC repeatedly (q87, q98, q217,
+      // the convergence probes) otherwise accumulates dead
+      // MEMORY_AND_DISK blocks across rounds and calls.
+      org.apache.spark.sql.graft.PlanApi.releaseLocalCheckpoint(comp)
       comp = next
       converged = s == prevSum
       prevSum = s

@@ -141,19 +141,25 @@ object Wave13Ops {
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst")))
-      var settled = materialized(edges
+      val seed = materialized(edges
         .filter(col("src") % 2 === 0 && col("src") < 10)
         .select(col("src").as("id")).distinct()
         .withColumn("hop", lit(0L)))
-      var frontier = settled
-      (1 to 3).foreach { k =>
-        val fresh = materialized(edges
+      // Loop state in GraphIter is the frontier alone (Eager: each
+      // round's fresh set has TWO consumers — the settled union and
+      // the next anti-join — so it must materialize before either
+      // reads it). The settled set stays a lazy union chain over the
+      // cached fresh frames: linear in rounds, every leaf already
+      // materialized, nothing to re-race.
+      var settled = seed
+      GraphIter.run(seed, 3, 8, GraphIter.Eager) { (frontier, k) =>
+        val fresh = edges
           .join(frontier.select(col("id").as("src")), "src")
           .select(col("dst").as("id")).distinct()
           .join(settled, Seq("id"), "left_anti")
-          .withColumn("hop", lit(k.toLong)))
+          .withColumn("hop", lit(k.toLong))
         settled = settled.union(fresh)
-        frontier = fresh
+        fresh
       }
       settled.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
     }),

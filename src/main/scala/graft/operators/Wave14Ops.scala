@@ -180,24 +180,26 @@ object Wave14Ops {
       // winner is simply min(neighbor id). One groupBy replaces the
       // round's join + vote count (the general body below computes the
       // identical result, just slower).
-      var labels = edges.groupBy(col("dst").as("id"))
+      val labels0 = edges.groupBy(col("dst").as("id"))
         .agg(min("src").as("label"))
-      (2 to 2).foreach { _ =>
-        // General round body. The per-node argmax is ONE aggregate —
-        // max of (cnt, -label) picks the most frequent label with
-        // min-label ties — so each round costs the (node, label) vote
-        // count plus a map-side-combinable reduce, never a rank sort.
-        // Rounds have one consumer each and chain LAZILY into a single
-        // AQE-planned job; only the shared edge list is materialized
-        // (at real depth, checkpoint every few rounds like q119's
-        // note).
-        labels = edges
-          .join(labels.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id"), col("label"))
-          .agg(count(lit(1)).as("cnt"))
-          .groupBy("id")
-          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-          .select(col("id"), (-col("m.nl")).as("label"))
+      // General round body, driven by GraphIter in Chain mode: each
+      // round has exactly ONE consumer, so rounds fuse lazily into a
+      // single AQE-planned job with no per-round materialization; at
+      // real depth GraphIter's periodic localCheckpoint bounds the
+      // plan (the unrolled-2 oracle never reaches a checkpoint). The
+      // per-node argmax is ONE aggregate — max of (cnt, -label) picks
+      // the most frequent label with min-label ties — so each round
+      // costs the (node, label) vote count plus a map-side-combinable
+      // reduce, never a rank sort.
+      val labels = GraphIter.run(labels0, 1, 8, GraphIter.Chain) {
+        (lbl, _) =>
+          edges
+            .join(lbl.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy("id")
+            .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+            .select(col("id"), (-col("m.nl")).as("label"))
       }
       labels.groupBy("label").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("label").asc).limit(20)

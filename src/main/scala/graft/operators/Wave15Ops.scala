@@ -168,7 +168,7 @@ object Wave15Ops {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      var edges = materialized(eo
+      val edges = materialized(eo
         .select(explode(array(
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
@@ -179,28 +179,34 @@ object Wave15Ops {
       // previous round's), so equal consecutive (n_nodes, n_edges) means
       // the fixed point — the k-core — is reached and the remaining
       // rounds are provably identical: emit them without recomputing.
+      // GraphIter drives the rounds in Chain mode — the step manages
+      // its own materialization because per-round stats (counts) feed
+      // the driver-side fixed-point shortcut, and each superseded edge
+      // frame is released the moment its successor is counted; at real
+      // depth GraphIter's periodic localCheckpoint bounds lineage.
       var last: Option[(Long, Long)] = None
       var fixed = false
-      val rounds = (1 to 3).map { r =>
-        if (fixed) (r.toLong, last.get._1, last.get._2)
+      val buf = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+      GraphIter.run(edges, 3, 8, GraphIter.Chain) { (cur, r) =>
+        if (fixed) { buf += ((r.toLong, last.get._1, last.get._2)); cur }
         else {
-          val keep = materialized(edges
+          val keep = materialized(cur
             .groupBy("src").agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= k)
             .select(col("src").as("id")))
-          val prev = edges
-          edges = materialized(edges
+          val next = materialized(cur
             .join(keep.select(col("id").as("src")), "src")
             .join(keep.select(col("id").as("dst")), "dst"))
-          prev.unpersist()
-          val stats = (keep.count(), edges.count())
+          cur.unpersist()
+          val stats = (keep.count(), next.count())
           keep.unpersist()
           fixed = last.contains(stats)
           last = Some(stats)
-          (r.toLong, stats._1, stats._2)
+          buf += ((r.toLong, stats._1, stats._2))
+          next
         }
       }
-      rounds.toDF("round", "n_nodes", "n_edges")
+      buf.toSeq.toDF("round", "n_nodes", "n_edges")
     }),
 
     // ---- q200: split-leakage audit -------------------------------------

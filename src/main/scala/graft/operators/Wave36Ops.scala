@@ -85,11 +85,15 @@ object Wave36Ops {
 
     // ---- q256: personalized PageRank from a seed cohort -----------------
     // Same bipartite graph, loop shape, and integer arithmetic as
-    // q119 (edges+degrees materialized once, broadcast rank side,
-    // lazily persisted iterations) — but teleport mass restarts ONLY
+    // q119 (edges+degrees materialized once, shuffle_hash-hinted rank
+    // side — NO compulsory broadcast: the reached set approaches |V|
+    // by round 3, and a forced broadcast of a node-sized frame would
+    // bypass AQE's size check and hit the driver wall at scale;
+    // edges are already keyed on src so the hash build stays
+    // per-partition-bounded) — but teleport mass restarts ONLY
     // at the BUILDING-segment customers, so rank measures proximity
     // to that cohort. The rank frame stays SPARSE: it carries only
-    // reached nodes (seeds ∪ inflow), so early iterations broadcast a
+    // reached nodes (seeds ∪ inflow), so early iterations move a
     // seed-sized frame, not the node set. Mass in micro-micro units
     // (1e12 total) keeps three rounds of integer division exact
     // enough that ranks stay well separated; seeds.count() is a
@@ -115,20 +119,19 @@ object Wave36Ops {
       val nSeeds = seeds.count()
       val t = 1000000000000L / nSeeds
       val bonus = t * 15 / 100
-      var rank = seeds.select(col("id"), lit(t).as("r"))
-      (1 to 3).foreach { _ =>
+      val rank0 = seeds.select(col("id"), lit(t).as("r"))
+      val rank = GraphIter.run(rank0, 3, 8, GraphIter.Lazy) { (rank, _) =>
         val divided = rank.join(deg, rank("id") === deg("src"))
           .select(col("src"), expr("r div deg").as("share"))
-        val inflow = edges0.join(broadcast(divided), "src")
+        val inflow = edges0.join(divided.hint("shuffle_hash"), "src")
           .groupBy("dst").agg(sum("share").as("m"))
           .select(col("dst").as("id"), col("m"))
-        rank = inflow
+        inflow
           .join(seeds.withColumn("is_seed", lit(1L)), Seq("id"), "full_outer")
           .select(col("id"),
             (expr("coalesce(m, 0L) * 85 div 100") +
               when(col("is_seed").isNotNull, lit(bonus))
                 .otherwise(lit(0L))).as("r"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       rank.filter(col("r") > 0)
         .orderBy(col("r").desc, col("id").asc).limit(20)

@@ -307,8 +307,14 @@ object StreamingOps {
   def streamDriftMonitor(s: SparkSession, dir: String): DataFrame = {
     val agg = streamEvents(s, dir)
       .withColumn("etime", timestamp_seconds(expr("ts div 1000000000")))
+      // Spark `div` truncates toward zero while DuckDB `//` floors —
+      // they differ on negatives, so shift by the corpus value domain
+      // before dividing (the wave-19 recipe): bins stay non-negative
+      // and both engines agree even if a future corpus carries
+      // negative values. The +100_000_00 cent offset relabels bins by
+      // a constant (+2000), which drift comparison is invariant to.
       .withColumn("bin",
-        expr("CAST(floor(value * 100) AS BIGINT) div 5000"))
+        expr("(CAST(floor(value * 100) AS BIGINT) + 10000000) div 5000"))
       .withWatermark("etime", "1 hour")
       .groupBy(window(col("etime"), "6 hours").as("w"), col("bin"))
       .agg(count(lit(1)).as("n"))
@@ -318,7 +324,38 @@ object StreamingOps {
     runToTable(agg, "complete")
   }
 
+  /** Streaming windowed top-k: per 6-hour event-time window, the 3
+    * busiest event types. The STREAM maintains the (window, type)
+    * heavy-hitter counts — watermark-bounded state, ≤ |types| keys per
+    * open window — and the top-k rank runs as a batch step over the
+    * drained result table, exactly the production split: continuous
+    * counting in the stream, cheap rank at serve time (ranking inside
+    * the stream would force complete-mode re-sorts of every window on
+    * every micro-batch for the same answer). Stream == batch under
+    * AvailableNow; count-desc ties break on event_type asc so the
+    * top-3 cut is deterministic in both engines. */
+  def streamTopkWindows(s: SparkSession, dir: String): DataFrame = {
+    val counts = streamEvents(s, dir)
+      .withColumn("etime", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("etime", "1 hour")
+      .groupBy(window(col("etime"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"))
+    val drained = runToTable(counts, "complete")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w_start")
+      .orderBy(col("n").desc, col("event_type").asc)
+    drained
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("w_start"), col("event_type"), col("n"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q286_stream_topk" -> ((s, d) => streamTopkWindows(s, d)),
     "q249_stream_drift" -> ((s, d) => streamDriftMonitor(s, d)),
     "q195_stream_cdc_apply" -> ((s, d) => streamCdcApply(s, d)),
     "q52_stream_window" -> ((s, d) => windowedAgg(s, d)),
@@ -334,11 +371,23 @@ object StreamingOps {
       ((s, d) => StateProfile.streamStateProfile(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q286_stream_topk" ->
+      """WITH c AS (
+           SELECT strftime(make_timestamp(
+                    (epoch_ns(ts) // 21600000000000) * 21600000000),
+                  '%Y-%m-%d %H:%M:%S') AS w_start,
+                  event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT w_start, event_type, n, rnk FROM (
+           SELECT w_start, event_type, n, row_number() OVER (
+             PARTITION BY w_start ORDER BY n DESC, event_type ASC) AS rnk
+           FROM c)
+         WHERE rnk <= 3""",
     "q249_stream_drift" ->
       """SELECT strftime(make_timestamp(
                   (epoch_ns(ts) // 21600000000000) * 21600000000),
                 '%Y-%m-%d %H:%M:%S') AS w_start,
-              CAST(floor(value * 100) AS BIGINT) // 5000 AS bin,
+              (CAST(floor(value * 100) AS BIGINT) + 10000000) // 5000 AS bin,
               count(*) AS n
          FROM events GROUP BY 1, 2""",
     // Stream == batch: identical to q190's batch CDC apply.

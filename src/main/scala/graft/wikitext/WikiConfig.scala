@@ -28,19 +28,37 @@ object WikiConfig {
       citationExact: Set[String])
 
   /** Parse the wikis.yaml structure from a stream (resource or
-    * user-supplied file — same loader either way). */
+    * user-supplied file — same loader either way). Accepts BOTH
+    * spellings of the template matchers, so a reference deployment's
+    * own `wikis.yaml` drops in unchanged:
+    *  - graft flat keys: `citation_prefixes: [...]` /
+    *    `citation_exact: [...]`
+    *  - reference nested form (wikis.yaml:13-17):
+    *    `citation_templates: {prefixes: [...], exact: [...]}`
+    *  - reference legacy flat list (wiki_config.py:25-27):
+    *    `citation_templates: [a, b]` — all entries treated as
+    *    prefixes, exact empty.
+    */
   private[wikitext] def parseYaml(
       in: java.io.InputStream): Map[String, Config] = {
     val root = new ObjectMapper(new YAMLFactory()).readTree(in)
     root.fields().asScala.map { e =>
+      def list(n: JsonNode): Seq[String] =
+        n.elements().asScala.map(_.asText()).toSeq
       def strs(n: JsonNode, field: String): Seq[String] =
-        Option(n.get(field))
-          .map(_.elements().asScala.map(_.asText()).toSeq)
-          .getOrElse(Nil)
+        Option(n.get(field)).map(list).getOrElse(Nil)
+      val tpl = Option(e.getValue.get("citation_templates"))
+      val (prefixes, exact) = tpl match {
+        case Some(t) if t.isArray => (list(t), Nil) // legacy flat list
+        case Some(t) => (strs(t, "prefixes"), strs(t, "exact"))
+        case None =>
+          (strs(e.getValue, "citation_prefixes"),
+            strs(e.getValue, "citation_exact"))
+      }
       e.getKey -> Config(
         referenceSections = strs(e.getValue, "reference_sections").toSet,
-        citationPrefixes = strs(e.getValue, "citation_prefixes"),
-        citationExact = strs(e.getValue, "citation_exact").toSet)
+        citationPrefixes = prefixes,
+        citationExact = exact.toSet)
     }.toMap
   }
 

@@ -15,4 +15,23 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 object PlanApi {
   def ofRows(plan: LogicalPlan, spark: org.apache.spark.sql.SparkSession): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Release the cached blocks behind a `localCheckpoint(true)`-ed
+    * frame. `Dataset.unpersist` only drains CacheManager entries
+    * registered via `persist`, so superseded checkpoint rounds in an
+    * iterative loop otherwise linger at MEMORY_AND_DISK until the
+    * ContextCleaner happens to GC them — a long session running many
+    * convergence loops accumulates dead blocks. The checkpointed
+    * frame's analyzed plan is a [[org.apache.spark.sql.execution.LogicalRDD]]
+    * leaf over the materialized RDD; unpersisting that RDD frees the
+    * blocks immediately. Safe ONLY for frames that will never be read
+    * again (a locally-checkpointed RDD cannot recompute lost
+    * partitions). No-op for non-checkpointed plans.
+    */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

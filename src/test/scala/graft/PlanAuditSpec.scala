@@ -394,6 +394,53 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "visibility must come from explode(sequence(ver, N))")
   }
 
+  test("pagerank round: rank join is never a compulsory broadcast") {
+    // Round-5 scale hazard: the iterative-rank loops forced
+    // broadcast(divided) on a NODE-sized frame — a hint AQE cannot
+    // size-check away, so at tens of millions of vertices it hits the
+    // driver/broadcast wall. With broadcasting disabled entirely
+    // (threshold -1, both planner and AQE), any BroadcastHashJoin left
+    // in the executed plan could only come from such a compulsory
+    // hint. The rank side now carries shuffle_hash instead: the build
+    // is per-partition-bounded and the plan must show ShuffledHashJoin.
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val edges = s2.range(100)
+      .selectExpr("id % 20 AS src", "(id * 3 + 1) % 20 AS dst")
+      .filter(col("src") =!= col("dst")).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Chain mode: the single round stays unpersisted, so the rank
+    // join is visible in the plan, not hidden in an InMemoryRelation.
+    val round = graft.operators.AnalyticsOps.pagerank(
+      edges, deg, rounds = 1, checkpointEvery = 8,
+      mode = graft.operators.GraphIter.Chain)
+    round.collect() // finalize AQE
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "rank-side join must be a shuffled hash join under no-broadcast")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "no compulsory broadcast may survive threshold -1")
+  }
+
+  test("q119/q256: results invariant under a no-broadcast policy") {
+    // The full queries still run and return identical rows when every
+    // broadcast is forbidden — i.e. no hint anywhere in their trees
+    // REQUIRES a driver-sized build to be correct or to complete.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    for (q <- Seq("q119_pagerank", "q256_personalized_pagerank")) {
+      val base = SparkEntry.queries(q)(spark, sf)
+        .collect().map(_.toString).toSet
+      val noBc = SparkEntry.queries(q)(s2, sf)
+        .collect().map(_.toString).toSet
+      assert(base == noBc, s"$q diverged under no-broadcast policy")
+      assert(base.nonEmpty)
+    }
+  }
+
   test("registerViews: full corpus + native functions reachable via spark.sql") {
     graft.Tables.registerViews(spark, sf)
     val r = spark.sql(

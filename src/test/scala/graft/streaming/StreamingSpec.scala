@@ -44,6 +44,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming windowed top-k == batch rank (q286)") {
+    val streamed = StreamingOps.streamTopkWindows(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val nsPer6h = 21600L * 1000 * 1000 * 1000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w_start")
+      .orderBy(col("n").desc, col("event_type").asc)
+    val batch = graft.Tables.table(spark, sf, "events")
+      .withColumn("w_start", date_format(
+        timestamp_seconds(expr(s"ts div $nsPer6h") * 21600L),
+        "yyyy-MM-dd HH:mm:ss"))
+      .groupBy("w_start", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming drift monitor == batch histogram (q249)") {
     val streamed = StreamingOps.streamDriftMonitor(spark, sf)
       .collect().map(_.toSeq).toSet
@@ -52,8 +71,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("w_start", date_format(
         timestamp_seconds(expr(s"ts div $nsPer6h") * 21600L),
         "yyyy-MM-dd HH:mm:ss"))
-      .withColumn("bin",
-        expr("CAST(floor(value * 100) AS BIGINT) div 5000"))
+      .withColumn("bin", // same domain shift as the query: floor-division
+        // semantics match DuckDB's // for any sign of value
+        expr("(CAST(floor(value * 100) AS BIGINT) + 10000000) div 5000"))
       .groupBy("w_start", "bin").agg(count(lit(1)).as("n"))
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)

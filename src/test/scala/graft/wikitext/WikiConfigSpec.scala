@@ -30,6 +30,44 @@ class WikiConfigSpec extends AnyFunSuite {
     assert(!WikiConfig.isCitationTemplate("xx.wikipedia.org", "Infobox"))
   }
 
+  test("en-fallback golden: unconfigured domain gets the FULL en config " +
+      "(wiki_config.py:12-15 + wikis.yaml:1-17)") {
+    val fb = WikiConfig.forDomain("zz.wikivoyage.org")
+    // Field-for-field the reference's en.wikipedia.org entry — not just
+    // a couple of spot lookups: a drift in the bundled file or loader
+    // would silently change extraction on every unconfigured wiki.
+    assert(fb.referenceSections == Set("articles", "audiobooks",
+      "bibliography", "books", "external links", "further reading",
+      "references", "sources", "works cited", "discography", "see also"))
+    assert(fb.citationPrefixes == Seq("cite"))
+    assert(fb.citationExact == Set("citation"))
+    // And it IS the en config, not a lookalike.
+    assert(fb == WikiConfig.forDomain("en.wikipedia.org"))
+  }
+
+  test("parseYaml accepts the reference's own wikis.yaml schema " +
+      "(nested citation_templates + legacy flat list)") {
+    val yaml =
+      """it.wikipedia.org:
+        |  reference_sections: [note, bibliografia]
+        |  citation_templates:
+        |    prefixes: [cita, cite]
+        |    exact: [citazione]
+        |legacy.example.org:
+        |  reference_sections: [refs]
+        |  citation_templates: [cite, citeweb]
+        |""".stripMargin
+    val parsed = WikiConfig.parseYaml(
+      new ByteArrayInputStream(yaml.getBytes(StandardCharsets.UTF_8)))
+    val it = parsed("it.wikipedia.org")
+    assert(it.citationPrefixes == Seq("cita", "cite"))
+    assert(it.citationExact == Set("citazione"))
+    // wiki_config.py:25-27: a flat list is all-prefixes, exact empty.
+    val legacy = parsed("legacy.example.org")
+    assert(legacy.citationPrefixes == Seq("cite", "citeweb"))
+    assert(legacy.citationExact.isEmpty)
+  }
+
   test("parseYaml accepts a user-supplied wiki definition at runtime") {
     val yaml =
       """de.wikipedia.org:
