@@ -33,7 +33,7 @@ object SparkEntry {
       Wave40Ops.queries ++ Wave41Ops.queries ++ Wave42Ops.queries ++
       Wave43Ops.queries ++ Wave44Ops.queries ++ Wave45Ops.queries ++
       Wave46Ops.queries ++ Wave47Ops.queries ++ Wave48Ops.queries ++
-      Wave49Ops.queries ++ Wave50Ops.queries ++
+      Wave49Ops.queries ++ Wave50Ops.queries ++ Wave51Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -52,6 +52,6 @@ object SparkEntry {
       Wave40Ops.oracle ++ Wave41Ops.oracle ++ Wave42Ops.oracle ++
       Wave43Ops.oracle ++ Wave44Ops.oracle ++ Wave45Ops.oracle ++
       Wave46Ops.oracle ++ Wave47Ops.oracle ++ Wave48Ops.oracle ++
-      Wave49Ops.oracle ++ Wave50Ops.oracle ++
+      Wave49Ops.oracle ++ Wave50Ops.oracle ++ Wave51Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
