@@ -1081,6 +1081,67 @@ object ScaleProbe {
             (expr("coalesce(m, 0L) * 85 div 100") +
               when(col("is_seed").isNotNull, lit(45000000L))
                 .otherwise(lit(0L))).as("r"))
+      }),
+
+      "psi_hist" -> (k => {
+        // q287 shape: per-half share histogram over pinned bins — one
+        // map-side-combined shuffle of a few dozen partials; the ratio
+        // is the scan.
+        scaled("events", k, "event_id")
+          .select(expr("CAST(floor(value * 100) AS BIGINT) div 1000")
+            .as("bin"), expr("event_id % 2").as("late"))
+          .groupBy("bin")
+          .agg(sum(expr("1 - late")).as("n_p"), sum("late").as("n_q"))
+      }),
+
+      "hll_agg" -> (k => {
+        // q288 shape: the register sketch ships 128 bytes per group
+        // per partition regardless of cardinality — near-linear scan
+        // cost, flat shuffle.
+        val hll = udaf(new graft.functions.HllSketch())
+        scaled("events", k, "event_id", "user_id")
+          .select(col("event_type"),
+            expr("""CAST(conv(substring(md5(CAST(user_id AS STRING)), 1,
+                 15), 16, 10) AS BIGINT)""").as("h"))
+          .groupBy("event_type").agg(hll(col("h")).as("est"))
+      }),
+
+      "funnel_window" -> (k => {
+        // q289 shape: per-user ordered window + step cut; work is the
+        // user-partitioned sort, linear in events.
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        scaled("events", k, "event_id", "user_id")
+          .withColumn("step", row_number().over(w))
+          .withColumn("nxt", lead("event_type", 1).over(w))
+          .filter(col("step") <= 5 && col("nxt").isNotNull)
+          .groupBy("step", "event_type", "nxt")
+          .agg(count(lit(1)).as("n"))
+      }),
+
+      "centroid_score" -> (k => {
+        // q282 shape: P-row centroid broadcast × corpus scoring, then
+        // a map-side-combined argmin — map-only over the embeddings,
+        // so the ratio tracks vector count.
+        val e = scaled("embeddings", k, "vec_id")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val cents = e
+          .select(col("label").as("clabel"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("clabel", "pos").agg(round(avg("x"), 6).as("c"))
+          .groupBy("clabel")
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(pos, c))), p -> p.c)")
+            .as("cvec"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("score", expr(
+            """round(aggregate(zip_with(cvec, cvec, (x, y) -> x * y),
+                 CAST(0 AS DOUBLE), (acc, t) -> acc + t)
+               - 2 * aggregate(zip_with(v, cvec, (x, y) -> x * y),
+                 CAST(0 AS DOUBLE), (acc, t) -> acc + t), 6)"""))
+          .groupBy("vec_id", "label")
+          .agg(min(struct(col("score"), col("clabel"))).as("m"))
       }))
 
     def time(df: => DataFrame): Double = {
