@@ -36,20 +36,45 @@ object Wave26Ops {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
-      val edges = eo.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(eo.select(col("b").as("src"), col("a").as("dst")))
-        .distinct()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("degree"))
-      val adjR = edges.withColumn("a_idx",
+      // Distinct BEFORE symmetrizing: customers are even ids and
+      // suppliers odd, so (a,b) and (b,a) can never collide and the
+      // exploded frame needs no second dedup — the distinct shuffle
+      // runs on half the rows.
+      val edges = eo.distinct()
+        .select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // deg feeds 4 consumers (w0 + 3 steps) and adjR feeds 3 — eager
+      // persists so each is computed ONCE; without them every step's
+      // plan re-derives the lineitem⋈orders+distinct+window chain
+      // (exchange reuse does not span the persisted-walk boundary
+      // downstream consumers like q241 introduce).
+      def materialized(df: DataFrame): DataFrame = {
+        val p = df.persist(org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK)
+        p.count()
+        p
+      }
+      val deg = materialized(
+        edges.groupBy("src").agg(count(lit(1)).as("degree")))
+      val adjR = materialized(edges.withColumn("a_idx",
         row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
         .select(col("src").as("a_src"), col("a_idx"),
-          col("dst").as("nxt"))
+          col("dst").as("nxt")))
+      // The walk frame is NODE-sized (one walk per customer), so it is
+      // never force-broadcast; the shuffle_hash hint makes it the
+      // per-partition-bounded BUILD side against the edge-sized
+      // adjacency — without it the first round planned a sort-merge
+      // join that sorted the full adjacency (the q119 discipline:
+      // forbid the driver-sized build, bound the executor-sized one).
       def step(w: DataFrame, t: Int): DataFrame =
         w.join(deg.withColumnRenamed("src", "d_src"),
             col("cur") === col("d_src"))
           .withColumn("pick", expr(
             s"CAST(conv(substring(md5(CAST(walk_id * 10 + $t" +
               s" AS STRING)), 1, 13), 16, 10) AS BIGINT) % degree"))
+          .hint("shuffle_hash")
           .join(adjR, col("cur") === col("a_src") &&
             col("pick") === col("a_idx"))
           .drop("d_src", "degree", "pick", "a_src", "a_idx", "cur")
