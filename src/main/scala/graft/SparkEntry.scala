@@ -34,7 +34,7 @@ object SparkEntry {
       Wave43Ops.queries ++ Wave44Ops.queries ++ Wave45Ops.queries ++
       Wave46Ops.queries ++ Wave47Ops.queries ++ Wave48Ops.queries ++
       Wave49Ops.queries ++ Wave50Ops.queries ++ Wave51Ops.queries ++
-      Wave52Ops.queries ++ Wave53Ops.queries ++
+      Wave52Ops.queries ++ Wave53Ops.queries ++ Wave54Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -54,6 +54,6 @@ object SparkEntry {
       Wave43Ops.oracle ++ Wave44Ops.oracle ++ Wave45Ops.oracle ++
       Wave46Ops.oracle ++ Wave47Ops.oracle ++ Wave48Ops.oracle ++
       Wave49Ops.oracle ++ Wave50Ops.oracle ++ Wave51Ops.oracle ++
-      Wave52Ops.oracle ++ Wave53Ops.oracle ++
+      Wave52Ops.oracle ++ Wave53Ops.oracle ++ Wave54Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -90,6 +90,38 @@ object TextOps {
   def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsOf(minhashSigs(s, d), MaxLshBucket)
 
+  /** LSH candidate pairs with their EXACT shingle Jaccard in integer
+    * ppm — the verify stage every dedup decision reads (q140/q291/q295
+    * share it). Candidate-bounded: only docs in a candidate pair get
+    * their shingle sets joined (broadcast id semi-filter), so the
+    * exact pass scales with |candidates|, never the corpus. Returned
+    * frames: (a_id, b_id, jac_ppm); pairs and the filtered shingles
+    * are persisted by the caller's action lifetime.
+    */
+  def verifiedJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshPairs(s, d).persist()
+    val candIds = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val sh = shingled(s, d).distinct()
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a_id", "b_id"), "left_outer")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")),
+        "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        expr("(inter * 1000000) div (sza + szb - inter)").as("jac_ppm"))
+  }
+
   /** Pair expansion from precomputed signatures, hot buckets capped. */
   def lshPairsOf(sigs: DataFrame, maxBucket: Int): DataFrame =
     sigs

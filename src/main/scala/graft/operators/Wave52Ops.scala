@@ -71,27 +71,7 @@ object Wave52Ops {
     // reaches still reports 0 — a missing operating point misleads
     // exactly when dedup is too aggressive.
     "q291_dedup_threshold_sweep" -> ((s, d) => {
-      val pairs = TextOps.lshPairs(s, d).persist()
-      val candIds = pairs.select(col("a_id").as("doc_id"))
-        .union(pairs.select(col("b_id").as("doc_id"))).distinct()
-      val sh = TextOps.shingled(s, d).distinct()
-        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-        .persist()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = pairs
-        .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
-          Seq("b_id", "shingle"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      val jac = pairs
-        .join(inter, Seq("a_id", "b_id"), "left_outer")
-        .withColumn("inter", coalesce(col("inter"), lit(0L)))
-        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")),
-          "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")),
-          "b_id")
-        .withColumn("jac_ppm",
-          expr("(inter * 1000000) div (sza + szb - inter)"))
+      val jac = TextOps.verifiedJaccardPairs(s, d)
       val nDocs = table(s, d, "documents").agg(count(lit(1)).as("n_docs"))
       val grid = s.range(1, 10)
         .select((col("id") * 100000L).as("thr_ppm"))
@@ -142,7 +122,7 @@ object Wave52Ops {
           expr("sum(rr_ppm) div count(1)").as("rr_ppm")))
     }))
 
-  private val lshJacCtes =
+  private[operators] val lshJacCtes =
     """toks AS (
          SELECT doc_id,
            list_filter(string_split(lower(text), ' '), w -> w <> '')
