@@ -354,7 +354,46 @@ object StreamingOps {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Streaming HyperLogLog distinct users per event type: the stream
+    * maintains the 128 one-byte HLL registers RELATIONALLY — state is
+    * the (type, bucket) → max-rho frame, ≤ 128·|types| rows forever,
+    * the textbook streaming-sketch state bound (an exact streaming
+    * countDistinct would hold every user id). The finalize (grid pad +
+    * harmonic estimate) runs as a batch step over the drained
+    * registers using the SAME pinned integer estimator as q288's
+    * Aggregator, decomposed as 715275·q + ⌊715275·r/1e6⌋ with
+    * A = q·1e6 + r so every product stays in i64 — so stream, batch
+    * Aggregator, and the DuckDB oracle agree bit-for-bit. */
+  def streamHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val regs = streamEvents(s, dir)
+      .select(col("event_type"),
+        expr("""CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),
+             16, 10) AS BIGINT)""").as("h"))
+      .withColumn("bucket", expr("h div 9007199254740992"))
+      .withColumn("rho", expr(
+        """CASE WHEN h % 9007199254740992 = 0 THEN 54
+           ELSE 54 - length(bin(h % 9007199254740992)) END"""))
+      .groupBy("event_type", "bucket").agg(max("rho").as("rr"))
+    val drained = runToTable(regs, "complete")
+    // Types come from the batch table, not from `drained` itself — a
+    // grid derived from the drained frame would self-join it and trip
+    // conflicting attribute references.
+    val grid = graft.Tables.table(s, dir, "events")
+      .select("event_type").distinct()
+      .crossJoin(s.range(0, 128).select(col("id").as("bucket")))
+    val sv = grid.join(drained, Seq("event_type", "bucket"), "left_outer")
+      .na.fill(0L, Seq("rr"))
+      .groupBy("event_type")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), " +
+        "48 - least(CAST(rr AS INT), 48))")).as("sv"))
+    sv.select(col("event_type"),
+      expr("""715275 * (4611686018427387904 div sv div 1000000)
+              + 715275 * ((4611686018427387904 div sv) % 1000000)
+                div 1000000""").as("hll_est"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q297_stream_hll" -> ((s, d) => streamHllDistinct(s, d)),
     "q286_stream_topk" -> ((s, d) => streamTopkWindows(s, d)),
     "q249_stream_drift" -> ((s, d) => streamDriftMonitor(s, d)),
     "q195_stream_cdc_apply" -> ((s, d) => streamCdcApply(s, d)),
@@ -371,6 +410,43 @@ object StreamingOps {
       ((s, d) => StateProfile.streamStateProfile(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // Identical register derivation and pinned estimator as q288's
+    // batch Aggregator oracle — stream == batch == sketch.
+    "q297_stream_hll" ->
+      """WITH h AS (
+           SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+           FROM events),
+         b AS (
+           SELECT event_type, h // 9007199254740992 AS bucket,
+                  h % 9007199254740992 AS rest
+           FROM h),
+         r AS (
+           SELECT event_type, bucket,
+             CASE WHEN rest = 0 THEN 54
+                  ELSE 54 - length(format('{:b}', rest)) END AS rho
+           FROM b),
+         reg AS (SELECT event_type, bucket, max(rho) AS rr
+                 FROM r GROUP BY 1, 2),
+         grid AS (
+           SELECT g.event_type, t.bucket
+           FROM (SELECT DISTINCT event_type FROM h) g
+           CROSS JOIN (SELECT unnest(range(0, 128)) AS bucket) t),
+         full_reg AS (
+           SELECT grid.event_type, coalesce(reg.rr, 0) AS rr
+           FROM grid LEFT JOIN reg
+             ON grid.event_type = reg.event_type
+             AND grid.bucket = reg.bucket),
+         s AS (
+           SELECT event_type,
+             sum(CAST(1 AS BIGINT) << (48 - least(rr, 48))) AS sv
+           FROM full_reg GROUP BY 1)
+         SELECT event_type,
+           CAST(CAST(715275 AS HUGEINT)
+                * (4611686018427387904 // sv) // 1000000 AS BIGINT)
+             AS hll_est
+         FROM s""",
     "q286_stream_topk" ->
       """WITH c AS (
            SELECT strftime(make_timestamp(

@@ -44,6 +44,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming HLL registers == batch Aggregator estimate (q297)") {
+    val streamed = StreamingOps.streamHllDistinct(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = graft.SparkEntry.queries("q288_hll_distinct")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming windowed top-k == batch rank (q286)") {
     val streamed = StreamingOps.streamTopkWindows(spark, sf)
       .collect().map(_.toSeq).toSet
