@@ -120,6 +120,8 @@ object GraftFunctions {
       "nfc_normalize", es => NfcNormalize(es.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "aho_match", es => AhoMatch(es.head, es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_planes", es => SimHashPlanes(es.head), "built-in")
   }
 
   private[functions] val info = new ExpressionInfo(
@@ -135,6 +137,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.injection)
     ext.injectFunction(NfcNormalize.injection)
     ext.injectFunction(AhoMatch.injection)
+    ext.injectFunction(SimHashPlanes.injection)
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

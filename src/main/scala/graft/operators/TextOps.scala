@@ -57,18 +57,28 @@ object TextOps {
     * groupBy with map-side combine, and each plane renders as a 16-char
     * '0'/'1' string so band keys and Hamming checks stay portable
     * across engines. */
-  private def simhashPlanes(s: SparkSession, d: String): DataFrame = {
-    val toks = table(s, d, "documents")
-      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val sums = for (j <- 0 to 3; i <- 1 to 16) yield
-      sum(when((shiftright(conv(substring(col("h"), i, 1), 16, 10)
-        .cast("int"), j) % 2) === 1, 1).otherwise(-1)).as(s"s${j}_$i")
-    toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id") +: (0 to 3).map(j =>
-        concat((1 to 16).map(i =>
-          when(col(s"s${j}_$i") > 0, "1").otherwise("0")): _*).as(s"p$j")): _*)
-  }
+  /** Per-doc 4-plane SimHash signatures via the native
+    * `simhash_planes` Expression (graft.functions.SimHashPlanes):
+    * each document's tokens fold inside the scan task — one md5 per
+    * token, 64 stack counters, zero extra rows — where the previous
+    * relational form exploded every token onto its own row and
+    * shuffled a token-count frame into a 64-buffer aggregate. The
+    * signature stage is now map-only; bit-for-bit equal to the
+    * explode+aggregate form (SimHashSpec proves it against the old
+    * formulation, and the q48/q101 DuckDB oracles still hash-match).
+    * Docs with no tokens are filtered first, matching the old
+    * groupBy's behavior of emitting no row for them.
+    */
+  private def simhashPlanes(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(col("doc_id"), words(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), expr("simhash_planes(tk)").as("pl"))
+      .select(col("doc_id"),
+        element_at(col("pl"), 1).as("p0"),
+        element_at(col("pl"), 2).as("p1"),
+        element_at(col("pl"), 3).as("p2"),
+        element_at(col("pl"), 4).as("p3"))
 
   private val stop = Seq("the", "a", "of", "and", "to")
 
@@ -291,16 +301,16 @@ object TextOps {
     // Explode+sum keeps everything in whole-stage codegen; the only
     // shuffle is the per-doc aggregation (map-side combined).
     "q48_simhash" -> ((s, d) => {
-      val toks = table(s, d, "documents")
-        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val sums = (1 to 16).map(i =>
-        sum(when(substring(col("h"), i, 1) >= "8", 1).otherwise(-1))
-          .as(s"b$i"))
-      toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      // bit i from "hex digit i >= '8'" is exactly bit 3 of the digit —
+      // plane 4 of the native simhash_planes kernel, so the signature
+      // is computed map-only inside the scan (no token explode, no
+      // shuffle; the old explode+16-aggregate form is SimHashSpec's
+      // reference recompute).
+      table(s, d, "documents")
+        .select(col("doc_id"), words(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
         .select(col("doc_id"),
-          concat((1 to 16).map(i =>
-            when(col(s"b$i") > 0, "1").otherwise("0")): _*).as("simhash"))
+          expr("element_at(simhash_planes(tk), 4)").as("simhash"))
     }),
 
     // ---- rolling-hash document fingerprint (winnowing-style min) -------

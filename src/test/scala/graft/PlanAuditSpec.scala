@@ -394,6 +394,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "visibility must come from explode(sequence(ver, N))")
   }
 
+  test("q48: native simhash keeps the signature stage map-only") {
+    // The old explode+64-aggregate form shuffled a token-count frame;
+    // with the native kernel the whole query is scan → project — no
+    // Exchange may appear at all.
+    val df = SparkEntry.queries("q48_simhash")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "simhash signature stage must not shuffle")
+    assert(plan.contains("simhash_planes"))
+  }
+
   test("pagerank round: rank join is never a compulsory broadcast") {
     // Round-5 scale hazard: the iterative-rank loops forced
     // broadcast(divided) on a NODE-sized frame — a hint AQE cannot

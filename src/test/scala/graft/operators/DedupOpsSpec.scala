@@ -18,6 +18,7 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("dedup-ops-spec")
     .getOrCreate()
 
