@@ -72,15 +72,21 @@ object Wave55Ops {
       val n = gaps.agg(count(lit(1)).as("n"))
       val cw = Window.orderBy("gap_s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // persisted: three percentile probes + max + count hit this
+      // domain-bounded frame; without the cache each scalar action
+      // re-runs the per-user window over the corpus.
       val hist = gaps.groupBy("gap_s").agg(count(lit(1)).as("c"))
         .withColumn("cum", sum("c").over(cw))
         .crossJoin(broadcast(n))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def pct(p: Int) = hist
         .filter(col("cum") * 100 >= col("n") * p)
         .agg(min("gap_s")).head().getLong(0)
       val p50 = pct(50); val p90 = pct(90); val p99 = pct(99)
-      val mx = gaps.agg(max("gap_s")).head().getLong(0)
-      val nl = n.head().getLong(0)
+      // max and count come from the cached histogram, not fresh
+      // corpus passes
+      val mx = hist.agg(max("gap_s")).head().getLong(0)
+      val nl = hist.agg(max("n")).head().getLong(0)
       import s.implicits._
       Seq(("p50_s", p50), ("p90_s", p90), ("p99_s", p99), ("max_s", mx),
         ("n_gaps", nl),
