@@ -29,6 +29,7 @@ class ScaleMechanicsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("scale-mechanics")
     .getOrCreate()
 

@@ -27,6 +27,7 @@ class TimeBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     // deliberately NOT UTC: the boundary must be timezone-free
     .config("spark.sql.session.timeZone", "America/New_York")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("time-boundary-spec")
     .getOrCreate()
 

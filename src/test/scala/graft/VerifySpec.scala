@@ -20,6 +20,7 @@ class VerifySpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("verify-spec")
     .getOrCreate()
 

@@ -14,7 +14,8 @@ class AhoMatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
-      .appName("aho-match-spec")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .appName("aho-match-spec")
       .getOrCreate()
     GraftFunctions.register(s)
     s

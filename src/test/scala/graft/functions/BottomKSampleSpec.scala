@@ -17,6 +17,7 @@ class BottomKSampleSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("bottomk-spec")
     .getOrCreate()
 

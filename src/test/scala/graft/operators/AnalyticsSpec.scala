@@ -16,6 +16,7 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("analytics-spec")
     .getOrCreate()
 

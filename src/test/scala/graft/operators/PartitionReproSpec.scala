@@ -26,6 +26,7 @@ class PartitionReproSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("partition-repro-spec")
     .getOrCreate()
 

@@ -25,7 +25,8 @@ class Wave13Spec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-      .appName("wave13-spec")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .appName("wave13-spec")
       .getOrCreate()
     s
   }

@@ -20,7 +20,8 @@ class Wave14Spec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-      .appName("wave14-spec")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .appName("wave14-spec")
       .getOrCreate()
     s
   }

@@ -19,6 +19,7 @@ class Wave19Spec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("wave19-spec")
     .getOrCreate()
 

@@ -18,6 +18,7 @@ class Wave27Spec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("wave27-spec")
     .getOrCreate()
 

@@ -18,6 +18,7 @@ class Wave29Spec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("wave29-spec")
     .getOrCreate()
 

@@ -23,7 +23,8 @@ class Wave5Spec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-      .appName("wave5-spec")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .appName("wave5-spec")
       .getOrCreate()
     graft.functions.GraftFunctions.register(s)
     s

@@ -20,7 +20,8 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-      .appName("wave7-spec")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .appName("wave7-spec")
       .getOrCreate()
     graft.functions.GraftFunctions.register(s)
     s

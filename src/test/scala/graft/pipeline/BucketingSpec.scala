@@ -23,6 +23,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.warehouse.dir", warehouse)
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("bucketing-spec")
     .getOrCreate()
 

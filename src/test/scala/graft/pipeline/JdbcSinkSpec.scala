@@ -16,6 +16,7 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("jdbc-sink-spec")
     .getOrCreate()
 
