@@ -392,7 +392,28 @@ object StreamingOps {
                 div 1000000""").as("hll_est"))
   }
 
+  /** Streaming SCD2 history per user (Scd2Stream): every event is an
+    * upsert of the user's balance version; the stream emits closed
+    * validity intervals as values change and the open version at the
+    * drain. Same output as the batch gaps-and-islands compression the
+    * oracle runs — stream == batch. */
+  def streamScd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val changes = streamEvents(s, dir)
+      .select(col("user_id").as("key"),
+        col("ts"), col("event_id").as("eventId"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("newVal"),
+        timestamp_seconds(expr("ts div 1000000000")).as("eventTime"))
+      .as[ChangeEvent]
+    val hist = Scd2Stream.history(changes)
+    runToTable(hist.toDF(), "append")
+      .select(col("key").as("user_id"), col("value"),
+        col("validFrom").as("valid_from"),
+        col("validTo").as("valid_to"), col("version"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q311_stream_scd2" -> ((s, d) => streamScd2History(s, d)),
     "q297_stream_hll" -> ((s, d) => streamHllDistinct(s, d)),
     "q286_stream_topk" -> ((s, d) => streamTopkWindows(s, d)),
     "q249_stream_drift" -> ((s, d) => streamDriftMonitor(s, d)),
@@ -410,6 +431,30 @@ object StreamingOps {
       ((s, d) => StateProfile.streamStateProfile(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // Batch gaps-and-islands compression of the same change stream:
+    // version starts where the value differs from its predecessor
+    // (event order = (ts, event_id)); valid_to = next start, -1 open.
+    "q311_stream_scd2" ->
+      """WITH ch AS (
+           SELECT user_id, epoch_ns(ts) AS ts, event_id,
+                  CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         flagged AS (
+           SELECT user_id, ts, event_id, v,
+             CASE WHEN lag(v) OVER w IS NULL
+                    OR v <> lag(v) OVER w THEN 1 ELSE 0 END AS is_start
+           FROM ch
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         starts AS (
+           SELECT user_id, ts AS valid_from, v AS value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS version,
+             lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM flagged WHERE is_start = 1)
+         SELECT user_id, value, valid_from,
+           coalesce(nxt, -1) AS valid_to, version
+         FROM starts""",
     // Identical register derivation and pinned estimator as q288's
     // batch Aggregator oracle — stream == batch == sketch.
     "q297_stream_hll" ->

@@ -45,6 +45,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming SCD2 history == batch gaps-and-islands (q311)") {
+    val streamed = StreamingOps.streamScd2History(spark, sf)
+      .collect().map(_.toSeq).toSet
+    // Batch recompute: version starts where the value changes.
+    val rows = graft.Tables.table(spark, sf, "events")
+      .selectExpr("user_id", "ts", "event_id",
+        "CAST(floor(value * 100) AS BIGINT) AS v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = rows.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val ordered = g.toSeq.sortBy(e => (e._2, e._3))
+      val starts = ordered.zipWithIndex.filter { case (e, i) =>
+        i == 0 || e._4 != ordered(i - 1)._4
+      }.map(_._1)
+      starts.zipWithIndex.map { case (e, vi) =>
+        val nxt = if (vi + 1 < starts.length) starts(vi + 1)._2 else -1L
+        Seq[Any](u, e._4, e._2, nxt, vi + 1L)
+      }
+    }.toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming HLL registers == batch Aggregator estimate (q297)") {
     val streamed = StreamingOps.streamHllDistinct(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
