@@ -22,7 +22,7 @@ object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Tokenize into non-empty lowercase word array. */
-  private def words(c: Column): Column =
+  private[operators] def words(c: Column): Column =
     filter(split(lower(c), " "), w => w =!= "")
 
   /** 3-word shingles (requires >= 3 tokens; callers filter). */
