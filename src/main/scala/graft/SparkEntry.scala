@@ -38,7 +38,7 @@ object SparkEntry {
       Wave55Ops.queries ++ Wave56Ops.queries ++ Wave57Ops.queries ++
       Wave58Ops.queries ++ Wave59Ops.queries ++ Wave60Ops.queries ++
       Wave61Ops.queries ++ Wave62Ops.queries ++ Wave63Ops.queries ++
-      Wave64Ops.queries ++ Wave65Ops.queries ++
+      Wave64Ops.queries ++ Wave65Ops.queries ++ Wave66Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -62,6 +62,6 @@ object SparkEntry {
       Wave55Ops.oracle ++ Wave56Ops.oracle ++ Wave57Ops.oracle ++
       Wave58Ops.oracle ++ Wave59Ops.oracle ++ Wave60Ops.oracle ++
       Wave61Ops.oracle ++ Wave62Ops.oracle ++ Wave63Ops.oracle ++
-      Wave64Ops.oracle ++ Wave65Ops.oracle ++
+      Wave64Ops.oracle ++ Wave65Ops.oracle ++ Wave66Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
