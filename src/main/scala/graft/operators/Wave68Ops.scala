@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** Round-6 wave 68: market-basket association rules — the classic
+  * co-occurrence mining workload (support / confidence / lift for the
+  * strongest item pairs). The pair stage explodes WITHIN each basket
+  * only, so its output is Σ C(|basket|,2) — bounded by the basket-size
+  * cap (TPC-H: ≤ 7 lines), never |items|² — which is exactly why
+  * basket mining scales where naive item-item similarity doesn't.
+  */
+object Wave68Ops {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- q324: association rules over order baskets --------------------
+    // Baskets = distinct (order, part); per-item basket counts; the
+    // within-basket self-join (p1 < p2) counts pair co-occurrence in
+    // ONE shuffle on the order key. Top-20 pairs by (count desc,
+    // p1, p2) via TakeOrdered, then the rule metrics in exact ppm:
+    // support, both confidence directions, and lift
+    // = n·pair·1e6 div (c1·c2). Item-count joins on the pair frame
+    // are 20-row lookups at serve time.
+    "q324_basket_association_rules" -> ((s, d) => {
+      val items = table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nB = items.select("ok").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val cnt = items.groupBy("pk").agg(count(lit(1)).as("c"))
+      val pairs = items.select(col("ok"), col("pk").as("p1"))
+        .join(items.select(col("ok"), col("pk").as("p2")), "ok")
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("p1"), col("p2"))
+        .limit(20)
+      pairs
+        .join(cnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
+        .join(cnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
+        .crossJoin(broadcast(nB))
+        .select(col("p1"), col("p2"), col("pair_cnt"), col("c1"),
+          col("c2"),
+          expr("pair_cnt * 1000000 div n_baskets").as("support_ppm"),
+          expr("pair_cnt * 1000000 div c1").as("conf_1to2_ppm"),
+          expr("pair_cnt * 1000000 div c2").as("conf_2to1_ppm"),
+          expr("pair_cnt * n_baskets * 1000000 div (c1 * c2)")
+            .as("lift_ppm"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q324_basket_association_rules" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM items),
+         cnt AS (SELECT pk, count(*) AS c FROM items GROUP BY 1),
+         pairs AS (
+           SELECT a.pk AS p1, b.pk AS p2, count(*) AS pair_cnt
+           FROM items a JOIN items b
+             ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2
+           ORDER BY pair_cnt DESC, p1, p2
+           LIMIT 20)
+         SELECT p1, p2, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(c1.c AS BIGINT) AS c1, CAST(c2.c AS BIGINT) AS c2,
+           CAST(pair_cnt * 1000000 // n_baskets AS BIGINT)
+             AS support_ppm,
+           CAST(pair_cnt * 1000000 // c1.c AS BIGINT) AS conf_1to2_ppm,
+           CAST(pair_cnt * 1000000 // c2.c AS BIGINT) AS conf_2to1_ppm,
+           CAST(pair_cnt * n_baskets * 1000000 // (c1.c * c2.c)
+             AS BIGINT) AS lift_ppm
+         FROM pairs
+         JOIN cnt c1 ON pairs.p1 = c1.pk
+         JOIN cnt c2 ON pairs.p2 = c2.pk, nb""")
+}

@@ -412,7 +412,41 @@ object StreamingOps {
         col("validTo").as("valid_to"), col("version"))
   }
 
+  /** Streaming burst detection: the STREAM maintains the hourly event
+    * counts (state = one row per open hour bucket, watermark-bounded);
+    * the trailing-24-hour baseline comparison runs as a batch step
+    * over the drained hour frame — the q286 split: continuous counting
+    * in the stream, cheap windowed rule at serve time (the trailing
+    * window needs 24 CLOSED buckets, so evaluating it in-stream would
+    * re-scan the whole bucket history every micro-batch for the same
+    * answer). Same rule and output as batch q317 → stream == batch
+    * under AvailableNow. */
+  def streamBurstDetection(s: SparkSession, dir: String): DataFrame = {
+    val hourly = streamEvents(s, dir)
+      .withColumn("etime", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("etime", "1 hour")
+      .groupBy(window(col("etime"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        graft.Tables.tsToNanos(col("w.start"))
+          .as("start_ns"),
+        col("cnt"))
+    val drained = runToTable(hourly, "complete")
+      .select(expr("start_ns div 3600000000000").as("hour_id"),
+        col("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("hour_id").rowsBetween(-24, -1)
+    drained
+      .withColumn("trail_sum", sum("cnt").over(w))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .filter(col("trail_n") === 24 &&
+        col("cnt") * 24 > col("trail_sum") * 2)
+      .select(col("hour_id"), col("cnt"), col("trail_sum"),
+        expr("(cnt * 24 * 1000000) div trail_sum").as("ratio_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q323_stream_burst" -> ((s, d) => streamBurstDetection(s, d)),
     "q311_stream_scd2" -> ((s, d) => streamScd2History(s, d)),
     "q297_stream_hll" -> ((s, d) => streamHllDistinct(s, d)),
     "q286_stream_topk" -> ((s, d) => streamTopkWindows(s, d)),
@@ -431,6 +465,24 @@ object StreamingOps {
       ((s, d) => StateProfile.streamStateProfile(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // Identical rule and output as batch q317 — stream == batch.
+    "q323_stream_burst" ->
+      """WITH hourly AS (
+           SELECT epoch_ns(ts) // 3600000000000 AS hour_id,
+             count(*) AS cnt
+           FROM events GROUP BY 1),
+         trail AS (
+           SELECT hour_id, cnt,
+             sum(cnt) OVER (ORDER BY hour_id
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum,
+             count(*) OVER (ORDER BY hour_id
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n
+           FROM hourly)
+         SELECT hour_id, CAST(cnt AS BIGINT) AS cnt,
+           CAST(trail_sum AS BIGINT) AS trail_sum,
+           CAST((cnt * 24 * 1000000) // trail_sum AS BIGINT) AS ratio_ppm
+         FROM trail
+         WHERE trail_n = 24 AND cnt * 24 > trail_sum * 2""",
     // Batch gaps-and-islands compression of the same change stream:
     // version starts where the value differs from its predecessor
     // (event order = (ts, event_id)); valid_to = next start, -1 open.
