@@ -1119,6 +1119,76 @@ object ScaleProbe {
           .agg(count(lit(1)).as("n"))
       }),
 
+      // wave-63 blocked-linkage pair scoring: replicas shift BOTH the
+      // row key and the block key, so block sizes stay constant while
+      // block count scales — the posture the q313 comment promises
+      // (finer blocks at bigger corpora). Near-k ratios here certify
+      // the pair stage is linear when blocking does its job.
+      "fs_block_pairs" -> (k => {
+        val c = scaled("customer", k, "c_custkey", "c_nationkey")
+          .select(col("c_custkey").as("ck"), col("c_nationkey").as("nat"),
+            col("c_name").as("nm"), col("c_mktsegment").as("seg"))
+        c.select(col("ck").as("a"), col("nat"), col("nm").as("nm_a"),
+            col("seg").as("seg_a"))
+          .join(c.select(col("ck").as("b"), col("nat"),
+            col("nm").as("nm_b"), col("seg").as("seg_b")), "nat")
+          .select((col("nm_a") === col("nm_b")).cast("long").as("na"),
+            (col("seg_a") === col("seg_b")).cast("long").as("sa"))
+          .agg(sum("na").as("x"), sum("sa").as("y"))
+      }),
+      // wave-63 Kendall pair stage at constant block size (top-50 cap).
+      "kendall_pairs" -> (k => {
+        val w = Window.partitionBy("nat").orderBy(col("cents").desc,
+          col("ck"))
+        val ranked = scaled("customer", k, "c_custkey", "c_nationkey")
+          .select(col("c_custkey").as("ck"),
+            col("c_nationkey").as("nat"),
+            expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("cents"))
+          .withColumn("r1", row_number().over(w))
+          .filter(col("r1") <= 50)
+        ranked.select(col("nat"), col("ck").as("a"), col("r1").as("ra"))
+          .join(ranked.select(col("nat"), col("ck").as("b"),
+            col("r1").as("rb")), "nat")
+          .filter(col("a") < col("b"))
+          .agg(sum(expr("CAST(ra < rb AS BIGINT)")).as("c"))
+      }),
+      // wave-68 within-basket pair explosion (bounded by basket size).
+      "basket_pairs" -> (k => {
+        val items = scaled("lineitem", k, "l_orderkey")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        items.select(col("ok"), col("pk").as("p1"))
+          .join(items.select(col("ok"), col("pk").as("p2")), "ok")
+          .filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
+      }),
+      // wave-69 per-user trigram expansion (two leads, one count).
+      "trigram_paths" -> (k => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        scaled("events", k, "user_id", "event_id")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("t1"))
+          .withColumn("t2", lead("t1", 1).over(w))
+          .withColumn("t3", lead("t1", 2).over(w))
+          .filter(col("t2").isNotNull && col("t3").isNotNull)
+          .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      }),
+      // wave-65/68 hourly fold feeding burst detection: corpus → hour
+      // frame in one combinable pass (more rows per hour, same frame).
+      "burst_hourly_fold" -> (k =>
+        scaled("events", k, "event_id")
+          .groupBy(expr("ts div 3600000000000").as("h"))
+          .agg(count(lit(1)).as("cnt"))),
+      // wave-69 RFM: per-customer fold + domain-bounded histograms.
+      "rfm_fold" -> (k =>
+        scaled("orders", k, "o_custkey", "o_orderkey")
+          .groupBy("o_custkey")
+          .agg(max(expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"))
+            .as("last_dd"), count(lit(1)).as("f"),
+            sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+              .as("cents"))
+          .groupBy("f").agg(count(lit(1)).as("c"))),
       "centroid_score" -> (k => {
         // q282 shape: P-row centroid broadcast × corpus scoring, then
         // a map-side-combined argmin — map-only over the embeddings,
