@@ -122,6 +122,8 @@ object GraftFunctions {
       "aho_match", es => AhoMatch(es.head, es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_planes", es => SimHashPlanes(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", es => MinHashSigs(es.head), "built-in")
   }
 
   private[functions] val info = new ExpressionInfo(
@@ -138,6 +140,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NfcNormalize.injection)
     ext.injectFunction(AhoMatch.injection)
     ext.injectFunction(SimHashPlanes.injection)
+    ext.injectFunction(MinHashSigs.injection)
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

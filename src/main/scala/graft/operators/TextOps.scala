@@ -38,19 +38,26 @@ object TextOps {
 
   /** MinHash signature: 4 independent 8-hex-digit slots carved from ONE
     * md5 per shingle (quarters of the digest are independent uniform
-    * hashes — one hash evaluation instead of four). min() over content
-    * hashes is order-independent and shuffle-free up to the per-doc
-    * partial aggregation (map-side combine). */
-  private[operators] def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val h = md5(col("shingle"))
-    shingled(s, d)
-      .groupBy("doc_id")
-      .agg(
-        min(substring(h, 1, 8)).as("sig0"),
-        min(substring(h, 9, 8)).as("sig1"),
-        min(substring(h, 17, 8)).as("sig2"),
-        min(substring(h, 25, 8)).as("sig3"))
-  }
+    * hashes — one hash evaluation instead of four), min-folded per doc
+    * by the native `minhash_sigs` Expression
+    * (graft.functions.MinHashSigs): the whole document reduces inside
+    * the scan task — one md5 per shingle, four 8-byte stack minima,
+    * zero extra rows — where the previous relational form exploded
+    * every shingle onto its own row and shuffled them into a 4-buffer
+    * min aggregate. The signature stage is now map-only with NO
+    * groupBy at all; bit-for-bit equal to the explode+min form
+    * (MinHashSigsSpec proves it against the old formulation, and the
+    * q36 DuckDB oracle still hash-matches). */
+  private[operators] def minhashSigs(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .withColumn("tokens", words(col("text")))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), expr("minhash_sigs(tokens)").as("sigs"))
+      .select(col("doc_id"),
+        expr("element_at(sigs, 1)").as("sig0"),
+        expr("element_at(sigs, 2)").as("sig1"),
+        expr("element_at(sigs, 3)").as("sig2"),
+        expr("element_at(sigs, 4)").as("sig3"))
 
   /** 64-bit SimHash as four 16-bit bit-PLANES: plane j, char i holds
     * bit j of md5-hex-digit i (i = 1..16). All 64 bit-sums ride one
