@@ -41,7 +41,7 @@ object SparkEntry {
       Wave64Ops.queries ++ Wave65Ops.queries ++ Wave66Ops.queries ++
       Wave67Ops.queries ++ Wave68Ops.queries ++ Wave69Ops.queries ++
       Wave70Ops.queries ++ Wave71Ops.queries ++ Wave72Ops.queries ++
-      Wave73Ops.queries ++ Wave74Ops.queries ++
+      Wave73Ops.queries ++ Wave74Ops.queries ++ Wave75Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -68,6 +68,6 @@ object SparkEntry {
       Wave64Ops.oracle ++ Wave65Ops.oracle ++ Wave66Ops.oracle ++
       Wave67Ops.oracle ++ Wave68Ops.oracle ++ Wave69Ops.oracle ++
       Wave70Ops.oracle ++ Wave71Ops.oracle ++ Wave72Ops.oracle ++
-      Wave73Ops.oracle ++ Wave74Ops.oracle ++
+      Wave73Ops.oracle ++ Wave74Ops.oracle ++ Wave75Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
