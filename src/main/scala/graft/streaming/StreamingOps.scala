@@ -445,7 +445,30 @@ object StreamingOps {
         expr("(cnt * 24 * 1000000) div trail_sum").as("ratio_ppm"))
   }
 
+  /** Streaming M4 downsampling per hour bucket: the stream maintains
+    * the (hour → n/min/max/first/last) frame directly — every M4
+    * component is a combinable aggregate (first/last via min/max of
+    * the exact (ts, event_id, value) struct order), so state is one
+    * row per open hour and micro-batches fold in without re-scan. The
+    * dashboard-feed shape: the serving layer reads the drained frame
+    * as-is. */
+  def streamM4Hourly(s: SparkSession, dir: String): DataFrame = {
+    val agg = streamEvents(s, dir)
+      .select(col("ts"), col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("c"))
+      .withColumn("hour_id", expr("ts div 3600000000000"))
+      .groupBy("hour_id")
+      .agg(count(lit(1)).as("n"),
+        min("c").as("min_c"), max("c").as("max_c"),
+        min(struct(col("ts"), col("event_id"), col("c"))).as("f"),
+        max(struct(col("ts"), col("event_id"), col("c"))).as("l"))
+    runToTable(agg, "complete")
+      .select(col("hour_id"), col("n"), col("min_c"), col("max_c"),
+        col("f.c").as("first_c"), col("l.c").as("last_c"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q340_stream_m4" -> ((s, d) => streamM4Hourly(s, d)),
     "q323_stream_burst" -> ((s, d) => streamBurstDetection(s, d)),
     "q311_stream_scd2" -> ((s, d) => streamScd2History(s, d)),
     "q297_stream_hll" -> ((s, d) => streamHllDistinct(s, d)),
@@ -465,6 +488,28 @@ object StreamingOps {
       ((s, d) => StateProfile.streamStateProfile(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // Batch M4 per hour over the same events — stream == batch.
+    "q340_stream_m4" ->
+      """WITH x AS (
+           SELECT epoch_ns(ts) // 3600000000000 AS hour_id,
+             epoch_ns(ts) AS ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS c
+           FROM events),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY hour_id
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY hour_id
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM x)
+         SELECT hour_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(c) AS BIGINT) AS min_c,
+           CAST(max(c) AS BIGINT) AS max_c,
+           CAST(max(CASE WHEN rn_a = 1 THEN c END) AS BIGINT)
+             AS first_c,
+           CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT)
+             AS last_c
+         FROM r GROUP BY hour_id""",
     // Identical rule and output as batch q317 — stream == batch.
     "q323_stream_burst" ->
       """WITH hourly AS (
