@@ -42,7 +42,7 @@ object SparkEntry {
       Wave67Ops.queries ++ Wave68Ops.queries ++ Wave69Ops.queries ++
       Wave70Ops.queries ++ Wave71Ops.queries ++ Wave72Ops.queries ++
       Wave73Ops.queries ++ Wave74Ops.queries ++ Wave75Ops.queries ++
-      Wave76Ops.queries ++ Wave77Ops.queries ++
+      Wave76Ops.queries ++ Wave77Ops.queries ++ Wave78Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -70,6 +70,6 @@ object SparkEntry {
       Wave67Ops.oracle ++ Wave68Ops.oracle ++ Wave69Ops.oracle ++
       Wave70Ops.oracle ++ Wave71Ops.oracle ++ Wave72Ops.oracle ++
       Wave73Ops.oracle ++ Wave74Ops.oracle ++ Wave75Ops.oracle ++
-      Wave76Ops.oracle ++ Wave77Ops.oracle ++
+      Wave76Ops.oracle ++ Wave77Ops.oracle ++ Wave78Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
