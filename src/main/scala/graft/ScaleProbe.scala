@@ -1189,6 +1189,79 @@ object ScaleProbe {
             sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
               .as("cents"))
           .groupBy("f").agg(count(lit(1)).as("c"))),
+      // wave-70 positional postings build (tokenize + per-row lambdas,
+      // one count shuffle on the shingle key).
+      "phrase_postings" -> (k => {
+        val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+        scaled("documents", k, "doc_id")
+          .withColumn("t", toks)
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, size(t) - 3),
+               i -> concat_ws(' ', slice(t, i + 1, 3)))"""))
+            .as(Seq("pos", "shingle")))
+          .groupBy("shingle").agg(count(lit(1)).as("n"))
+      }),
+      // wave-70 bitmap OR-fold (62 users per word, one combinable agg).
+      "bitmap_fold" -> (k =>
+        scaled("events", k, "user_id")
+          .select(col("event_type").as("et"),
+            expr("user_id div 62").as("w"),
+            expr(
+              "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+              .as("bit"))
+          .groupBy("et", "w").agg(expr("bit_or(bit)").as("bits"))),
+      // wave-73 attribution range join (user-blocked, 7-day residual).
+      "attribution_pairs" -> (k => {
+        val ev = scaled("events", k, "user_id", "event_id")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"))
+        val touch = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts").as("tts"),
+            col("event_type").as("channel"))
+        conv.join(touch, Seq("user_id"))
+          .filter(col("tts") < col("pts") &&
+            col("tts") >= col("pts") - lit(7L * 86400000000000L))
+          .groupBy("channel").agg(count(lit(1)).as("n"))
+      }),
+      // wave-77 sorted matching scan (user fold + ordered neighbors).
+      "matching_scan" -> (k => {
+        val u = scaled("events", k, "user_id")
+          .groupBy("user_id")
+          .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("x"))
+          .withColumn("t", expr("user_id % 2"))
+        val cx = when(col("t") === 0, col("x"))
+        val bw = Window.orderBy("x", "t", "user_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        u.withColumn("bx", last(cx, ignoreNulls = true).over(bw))
+          .filter(col("t") === 1)
+          .agg(sum(expr("abs(x - coalesce(bx, 0))")).as("g"))
+      }),
+      // wave-74 M4 fold (pure combinable aggregate over the corpus).
+      "m4_fold" -> (k =>
+        scaled("events", k, "event_id")
+          .select(col("ts"), col("event_id"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("c"))
+          .withColumn("bucket", expr("ts div 3600000000000"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min("c").as("mn"),
+            max("c").as("mx"),
+            min(struct(col("ts"), col("event_id"), col("c"))).as("f"),
+            max(struct(col("ts"), col("event_id"), col("c"))).as("l"))),
+      // wave-78 user×type chi-square grid (corpus-keyed × 5 types).
+      "chi2_grid" -> (k => {
+        val ev = scaled("events", k, "user_id")
+          .select(col("user_id"), col("event_type"))
+        val types = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("c_t"))
+        val userN = ev.groupBy("user_id").agg(count(lit(1)).as("n_u"))
+        val obs = ev.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("o"))
+        userN.crossJoin(broadcast(types))
+          .join(obs, Seq("user_id", "event_type"), "left")
+          .na.fill(0L, Seq("o"))
+          .groupBy("user_id").agg(sum("o").as("s"))
+      }),
       "centroid_score" -> (k => {
         // q282 shape: P-row centroid broadcast × corpus scoring, then
         // a map-side-combined argmin — map-only over the embeddings,
