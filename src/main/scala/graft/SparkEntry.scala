@@ -43,7 +43,7 @@ object SparkEntry {
       Wave70Ops.queries ++ Wave71Ops.queries ++ Wave72Ops.queries ++
       Wave73Ops.queries ++ Wave74Ops.queries ++ Wave75Ops.queries ++
       Wave76Ops.queries ++ Wave77Ops.queries ++ Wave78Ops.queries ++
-      Wave79Ops.queries ++ Wave80Ops.queries ++
+      Wave79Ops.queries ++ Wave80Ops.queries ++ Wave81Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -72,6 +72,6 @@ object SparkEntry {
       Wave70Ops.oracle ++ Wave71Ops.oracle ++ Wave72Ops.oracle ++
       Wave73Ops.oracle ++ Wave74Ops.oracle ++ Wave75Ops.oracle ++
       Wave76Ops.oracle ++ Wave77Ops.oracle ++ Wave78Ops.oracle ++
-      Wave79Ops.oracle ++ Wave80Ops.oracle ++
+      Wave79Ops.oracle ++ Wave80Ops.oracle ++ Wave81Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
