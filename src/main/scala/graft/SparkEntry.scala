@@ -44,6 +44,7 @@ object SparkEntry {
       Wave73Ops.queries ++ Wave74Ops.queries ++ Wave75Ops.queries ++
       Wave76Ops.queries ++ Wave77Ops.queries ++ Wave78Ops.queries ++
       Wave79Ops.queries ++ Wave80Ops.queries ++ Wave81Ops.queries ++
+      Wave82Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -73,5 +74,6 @@ object SparkEntry {
       Wave73Ops.oracle ++ Wave74Ops.oracle ++ Wave75Ops.oracle ++
       Wave76Ops.oracle ++ Wave77Ops.oracle ++ Wave78Ops.oracle ++
       Wave79Ops.oracle ++ Wave80Ops.oracle ++ Wave81Ops.oracle ++
+      Wave82Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
