@@ -44,7 +44,7 @@ object SparkEntry {
       Wave73Ops.queries ++ Wave74Ops.queries ++ Wave75Ops.queries ++
       Wave76Ops.queries ++ Wave77Ops.queries ++ Wave78Ops.queries ++
       Wave79Ops.queries ++ Wave80Ops.queries ++ Wave81Ops.queries ++
-      Wave82Ops.queries ++ Wave83Ops.queries ++
+      Wave82Ops.queries ++ Wave83Ops.queries ++ Wave84Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -74,6 +74,6 @@ object SparkEntry {
       Wave73Ops.oracle ++ Wave74Ops.oracle ++ Wave75Ops.oracle ++
       Wave76Ops.oracle ++ Wave77Ops.oracle ++ Wave78Ops.oracle ++
       Wave79Ops.oracle ++ Wave80Ops.oracle ++ Wave81Ops.oracle ++
-      Wave82Ops.oracle ++ Wave83Ops.oracle ++
+      Wave82Ops.oracle ++ Wave83Ops.oracle ++ Wave84Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
