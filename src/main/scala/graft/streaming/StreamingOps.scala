@@ -467,7 +467,41 @@ object StreamingOps {
         col("f.c").as("first_c"), col("l.c").as("last_c"))
   }
 
+  /** Streaming data-quality gate: the q347 contract checks evaluated
+    * as combinable predicate sums INSIDE the stream (state = one
+    * 7-counter row, forever), unpivoted to per-check verdict rows at
+    * serve time. The shape that fails a deploy the micro-batch a feed
+    * version breaks its contract — stream == batch q347 oracle. */
+  def streamContractConformance(s: SparkSession, dir: String): DataFrame = {
+    val checks = Seq(
+      ("value_nonneg", "value >= 0"),
+      ("value_under_1k", "value < 1000"),
+      ("type_in_enum",
+        "event_type IN ('click','error','purchase','signup','view')"),
+      ("user_id_nonneg", "user_id >= 0"),
+      ("props_present", "props IS NOT NULL AND props <> ''"),
+      ("ts_in_window",
+        "ts >= 1577836800000000000 AND ts < 1893456000000000000"))
+    val agg = streamEvents(s, dir).groupBy().agg(
+      count(lit(1)).as("n_rows"),
+      checks.map { case (nm, p) =>
+        sum(expr(s"CAST($p AS BIGINT)")).as(s"p_$nm")
+      }: _*)
+    runToTable(agg, "complete")
+      .select(col("n_rows"), explode(array(
+        checks.map { case (nm, _) =>
+          struct(lit(nm).as("check"), col(s"p_$nm").as("n_pass"))
+        }: _*)).as("c"))
+      .select(col("c.check").as("check"), col("n_rows"),
+        col("c.n_pass").as("n_pass"),
+        expr("c.n_pass * 1000000 div n_rows").as("pass_ppm"),
+        expr("CASE WHEN c.n_pass = n_rows THEN 'pass' ELSE 'fail' END")
+          .as("status"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q360_stream_conformance" ->
+      ((s, d) => streamContractConformance(s, d)),
     "q340_stream_m4" -> ((s, d) => streamM4Hourly(s, d)),
     "q323_stream_burst" -> ((s, d) => streamBurstDetection(s, d)),
     "q311_stream_scd2" -> ((s, d) => streamScd2History(s, d)),
@@ -488,6 +522,36 @@ object StreamingOps {
       ((s, d) => StateProfile.streamStateProfile(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // Identical statement as batch q347 — stream == batch.
+    "q360_stream_conformance" ->
+      """WITH agg AS (
+           SELECT count(*) AS n_rows,
+             sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS p1,
+             sum(CASE WHEN value < 1000 THEN 1 ELSE 0 END) AS p2,
+             sum(CASE WHEN event_type IN
+               ('click','error','purchase','signup','view')
+               THEN 1 ELSE 0 END) AS p3,
+             sum(CASE WHEN user_id >= 0 THEN 1 ELSE 0 END) AS p4,
+             sum(CASE WHEN props IS NOT NULL AND props <> ''
+               THEN 1 ELSE 0 END) AS p5,
+             sum(CASE WHEN epoch_ns(ts) >= 1577836800000000000
+               AND epoch_ns(ts) < 1893456000000000000
+               THEN 1 ELSE 0 END) AS p6
+           FROM events),
+         u AS (
+           SELECT 'value_nonneg' AS check_nm, n_rows, p1 AS n_pass
+             FROM agg
+           UNION ALL SELECT 'value_under_1k', n_rows, p2 FROM agg
+           UNION ALL SELECT 'type_in_enum', n_rows, p3 FROM agg
+           UNION ALL SELECT 'user_id_nonneg', n_rows, p4 FROM agg
+           UNION ALL SELECT 'props_present', n_rows, p5 FROM agg
+           UNION ALL SELECT 'ts_in_window', n_rows, p6 FROM agg)
+         SELECT check_nm AS "check", CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_pass AS BIGINT) AS n_pass,
+           CAST(n_pass * 1000000 // n_rows AS BIGINT) AS pass_ppm,
+           CASE WHEN n_pass = n_rows THEN 'pass' ELSE 'fail' END
+             AS status
+         FROM u""",
     // Batch M4 per hour over the same events — stream == batch.
     "q340_stream_m4" ->
       """WITH x AS (
