@@ -45,7 +45,7 @@ object SparkEntry {
       Wave76Ops.queries ++ Wave77Ops.queries ++ Wave78Ops.queries ++
       Wave79Ops.queries ++ Wave80Ops.queries ++ Wave81Ops.queries ++
       Wave82Ops.queries ++ Wave83Ops.queries ++ Wave84Ops.queries ++
-      Wave85Ops.queries ++ Wave86Ops.queries ++
+      Wave85Ops.queries ++ Wave86Ops.queries ++ Wave87Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -76,6 +76,6 @@ object SparkEntry {
       Wave76Ops.oracle ++ Wave77Ops.oracle ++ Wave78Ops.oracle ++
       Wave79Ops.oracle ++ Wave80Ops.oracle ++ Wave81Ops.oracle ++
       Wave82Ops.oracle ++ Wave83Ops.oracle ++ Wave84Ops.oracle ++
-      Wave85Ops.oracle ++ Wave86Ops.oracle ++
+      Wave85Ops.oracle ++ Wave86Ops.oracle ++ Wave87Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -26,9 +26,13 @@ object Wave68Ops {
     // = n·pair·1e6 div (c1·c2). Item-count joins on the pair frame
     // are 20-row lookups at serve time.
     "q324_basket_association_rules" -> ((s, d) => {
+      // persisted: the basket frame feeds FOUR consumers (count, item
+      // counts, both pair-join sides) — without it each subtree
+      // re-runs the fact scan + distinct.
       val items = table(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nB = items.select("ok").distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val cnt = items.groupBy("pk").agg(count(lit(1)).as("c"))
