@@ -31,7 +31,7 @@ class Wave89Spec extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr("p_brand",
         "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') div 7",
         "CAST(floor(l_quantity) AS BIGINT)")
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(t => (t._1, t._2))
       .map { case ((b, w), g) => (b, w, g.map(_._3).sum) }.toSeq
     val expected = weekly.groupBy(_._1).map { case (b, g) =>
