@@ -46,7 +46,7 @@ object SparkEntry {
       Wave79Ops.queries ++ Wave80Ops.queries ++ Wave81Ops.queries ++
       Wave82Ops.queries ++ Wave83Ops.queries ++ Wave84Ops.queries ++
       Wave85Ops.queries ++ Wave86Ops.queries ++ Wave87Ops.queries ++
-      Wave88Ops.queries ++ Wave89Ops.queries ++
+      Wave88Ops.queries ++ Wave89Ops.queries ++ Wave90Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -78,6 +78,6 @@ object SparkEntry {
       Wave79Ops.oracle ++ Wave80Ops.oracle ++ Wave81Ops.oracle ++
       Wave82Ops.oracle ++ Wave83Ops.oracle ++ Wave84Ops.oracle ++
       Wave85Ops.oracle ++ Wave86Ops.oracle ++ Wave87Ops.oracle ++
-      Wave88Ops.oracle ++ Wave89Ops.oracle ++
+      Wave88Ops.oracle ++ Wave89Ops.oracle ++ Wave90Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
