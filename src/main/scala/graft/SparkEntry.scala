@@ -47,7 +47,7 @@ object SparkEntry {
       Wave82Ops.queries ++ Wave83Ops.queries ++ Wave84Ops.queries ++
       Wave85Ops.queries ++ Wave86Ops.queries ++ Wave87Ops.queries ++
       Wave88Ops.queries ++ Wave89Ops.queries ++ Wave90Ops.queries ++
-      Wave91Ops.queries ++ Wave92Ops.queries ++
+      Wave91Ops.queries ++ Wave92Ops.queries ++ Wave93Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -80,6 +80,6 @@ object SparkEntry {
       Wave82Ops.oracle ++ Wave83Ops.oracle ++ Wave84Ops.oracle ++
       Wave85Ops.oracle ++ Wave86Ops.oracle ++ Wave87Ops.oracle ++
       Wave88Ops.oracle ++ Wave89Ops.oracle ++ Wave90Ops.oracle ++
-      Wave91Ops.oracle ++ Wave92Ops.oracle ++
+      Wave91Ops.oracle ++ Wave92Ops.oracle ++ Wave93Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
