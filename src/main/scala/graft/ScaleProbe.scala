@@ -1262,6 +1262,58 @@ object ScaleProbe {
           .na.fill(0L, Seq("o"))
           .groupBy("user_id").agg(sum("o").as("s"))
       }),
+      // wave-84 selective MIN re-agg: classify + semi-join recompute.
+      "min_maintenance" -> (k => {
+        val li = scaled("lineitem", k, "l_orderkey", "l_partkey")
+          .select(col("l_partkey").as("pk"), col("l_orderkey").as("ok"),
+            expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+              .as("pc"))
+        val oldMin = li.groupBy("pk").agg(min("pc").as("mn"))
+        val delMin = li.filter(col("ok") % 11 === 0)
+          .groupBy("pk").agg(min("pc").as("dmn"))
+        val invalidated = oldMin.join(delMin, Seq("pk"), "left")
+          .filter(col("dmn").isNotNull && col("dmn") <= col("mn"))
+          .select("pk")
+        li.filter(col("ok") % 11 =!= 0)
+          .join(invalidated, Seq("pk"), "left_semi")
+          .groupBy("pk").agg(min("pc").as("mn"))
+      }),
+      // wave-90 growth accounting: customer×month fold + lag window.
+      "growth_accounting" -> (k => {
+        val cm = scaled("orders", k, "o_custkey", "o_orderkey")
+          .groupBy(col("o_custkey").as("ck"),
+            expr("""datediff(CAST(o_orderdate AS DATE),
+                DATE '1970-01-01') div 30""").as("m"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .as("cents"))
+        val w = Window.partitionBy("ck").orderBy("m")
+        cm.withColumn("prev", lag("cents", 1).over(w))
+          .groupBy("m")
+          .agg(sum(when(col("prev").isNull, col("cents"))
+            .otherwise(0L)).as("new_c"))
+      }),
+      // wave-91 blocked payment pairs ((customer, band) key).
+      "payment_pairs" -> (k => {
+        val o = scaled("orders", k, "o_custkey", "o_orderkey")
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT) div 100000")
+              .as("band"))
+        o.select(col("ck"), col("band"), col("ok").as("a"))
+          .join(o.select(col("ck"), col("band"), col("ok").as("b")),
+            Seq("ck", "band"))
+          .filter(col("a") < col("b"))
+          .agg(count(lit(1)).as("n"))
+      }),
+      // wave-92 quantized embedding moments (posexplode + keyed agg).
+      "fisher_moments" -> (k =>
+        scaled("embeddings", k, "vec_id")
+          .select(col("label"), posexplode(expr(
+            """transform(embedding,
+               x -> CAST(floor(x * 1000000) AS BIGINT))"""))
+            .as(Seq("dim", "xq")))
+          .groupBy("dim", "label")
+          .agg(count(lit(1)).as("n"), sum("xq").as("sx"),
+            sum(expr("CAST(xq AS DECIMAL(38,0)) * xq")).as("sxx"))),
       "centroid_score" -> (k => {
         // q282 shape: P-row centroid broadcast × corpus scoring, then
         // a map-side-combined argmin — map-only over the embeddings,
