@@ -48,7 +48,7 @@ object SparkEntry {
       Wave85Ops.queries ++ Wave86Ops.queries ++ Wave87Ops.queries ++
       Wave88Ops.queries ++ Wave89Ops.queries ++ Wave90Ops.queries ++
       Wave91Ops.queries ++ Wave92Ops.queries ++ Wave93Ops.queries ++
-      Wave94Ops.queries ++ Wave95Ops.queries ++
+      Wave94Ops.queries ++ Wave95Ops.queries ++ Wave96Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -82,6 +82,6 @@ object SparkEntry {
       Wave85Ops.oracle ++ Wave86Ops.oracle ++ Wave87Ops.oracle ++
       Wave88Ops.oracle ++ Wave89Ops.oracle ++ Wave90Ops.oracle ++
       Wave91Ops.oracle ++ Wave92Ops.oracle ++ Wave93Ops.oracle ++
-      Wave94Ops.oracle ++ Wave95Ops.oracle ++
+      Wave94Ops.oracle ++ Wave95Ops.oracle ++ Wave96Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
