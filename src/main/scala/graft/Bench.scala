@@ -36,10 +36,7 @@ object Bench {
     // blocking whatever query is being timed (observed: map-only
     // queries late in the run going 0.2 s → 6 s). Forcing GC between
     // queries keeps each drain small and outside every timed window.
-    def isolate(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      System.gc()
-    }
+    def isolate(): Unit = GraftSession.releaseQueryCaches(spark)
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }

@@ -45,6 +45,26 @@ object GraftSession {
       .withExtensions(new graft.functions.GraftExtensions)
   }
 
+  /** Release every cached intermediate left behind by query builders.
+    *
+    * THE CACHE-LIFETIME CONTRACT: `SparkEntry.queries` builders persist
+    * multi-consumer intermediates (signature tables, candidate pairs,
+    * adjacency/degree frames, walk tables …) and deliberately do NOT
+    * unpersist them — the terminal action happens at the CALLER, after
+    * the builder returned, so an in-builder unpersist would drop the
+    * cache before it was ever populated. The bound is this call: every
+    * harness (Bench between reps, Verify between queries, long-lived
+    * embedding sessions between logical requests) drops all caches and
+    * nudges GC so cleanup drains in small steps instead of one storm.
+    * A session that composes many graft queries without calling this
+    * accumulates one query's working set per query — bounded per
+    * query, unbounded across them.
+    */
+  def releaseQueryCaches(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    System.gc()
+  }
+
   /** Local session sized like the driver harness (local[n], UI off). */
   def local(cores: Int = 32): SparkSession = {
     val s = builder(Some(cores))

@@ -1368,7 +1368,11 @@ object ScaleProbe {
     val qs = results.map { case (k, t1, tn, r) =>
       f""""$k":{"t1":$t1%.2f,"t$n":$tn%.2f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","factor":$n,"probes":$qs}""")
+    // "shapes" is the authoritative probe count (probes.size) so prose
+    // claims are checkable against the committed output — round 6's
+    // "84 probes" drifted from the map's actual 78.
+    println(s"""{"metric":"scale_probe","factor":$n,""" +
+      s""""shapes":${probes.size},"ran":${results.size},"probes":$qs}""")
     spark.stop()
   }
 }

@@ -70,12 +70,9 @@ object Verify {
     }
     selected.foreach { case (name, fn) =>
       runOne(spark, sfDir, outDir, name, fn)
-      // Drop caches left by queries that persist() intermediates, so
-      // resident cached data can't accumulate across the 100+ queries,
-      // and force GC so shuffle/broadcast cleanup drains in small steps
-      // instead of one storm (see the matching note in Bench).
-      spark.sharedState.cacheManager.clearCache()
-      System.gc()
+      // The cache-lifetime contract (GraftSession.releaseQueryCaches):
+      // builders persist, harness boundaries release.
+      GraftSession.releaseQueryCaches(spark)
     }
     // Emit every oracle under BOTH the bare query name and the
     // result-directory name ("<name>.parquet"): the driver keys its

@@ -28,10 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns ARRAY<STRING> [sig0, sig1, sig2, sig3], or NULL for arrays
   * with < 3 tokens (no shingles — the relational groupBy emitted no
   * row there, so callers filter, exactly as `TextOps.shingled` does).
-  * Tokens are never NULL in practice (`words()` output); a NULL slot
-  * is rendered defensively as the empty string WITH its separator,
-  * which differs from `concat_ws`'s skip-null — acceptable only
-  * because the input contract excludes nulls (spec-pinned).
+  * NULL tokens inside a shingle follow `concat_ws` skip-null semantics
+  * exactly (the token AND its separator are skipped), so the kernel
+  * stays bit-identical to `md5(concat_ws(' ', slice(tokens, i+1, 3)))`
+  * even for nullable arrays — MinHashSigsSpec pins this with explicit
+  * null tokens. (`words()` output never carries nulls, but the
+  * guarantee no longer depends on that callsite contract.)
   */
 case class MinHashSigs(child: Expression) extends UnaryExpression {
 
@@ -80,11 +82,16 @@ object MinHashSigs {
     var i = 0
     while (i <= n - 3) {
       md.reset()
+      // concat_ws skip-null: a null token contributes neither bytes
+      // nor a separator, exactly like concat_ws(' ', ...) over the
+      // same slice — required for bit-parity on nullable arrays.
       var k = 0
+      var wrote = false
       while (k < 3) {
-        if (k > 0) md.update(sp)
         if (!tokens.isNullAt(i + k)) {
+          if (wrote) md.update(sp)
           md.update(tokens.getUTF8String(i + k).getBytes)
+          wrote = true
         }
         k += 1
       }

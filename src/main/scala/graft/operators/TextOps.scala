@@ -112,8 +112,11 @@ object TextOps {
     * share it). Candidate-bounded: only docs in a candidate pair get
     * their shingle sets joined (broadcast id semi-filter), so the
     * exact pass scales with |candidates|, never the corpus. Returned
-    * frames: (a_id, b_id, jac_ppm); pairs and the filtered shingles
-    * are persisted by the caller's action lifetime.
+    * frame: (a_id, b_id, jac_ppm). The persisted intermediates (pairs,
+    * filtered shingles) are deliberately NOT unpersisted here — the
+    * terminal action runs at the caller — and are released at the
+    * harness boundary per the cache-lifetime contract documented on
+    * `GraftSession.releaseQueryCaches`.
     */
   def verifiedJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val pairs = lshPairs(s, d).persist()

@@ -145,23 +145,28 @@ object Wave13Ops {
         .filter(col("src") % 2 === 0 && col("src") < 10)
         .select(col("src").as("id")).distinct()
         .withColumn("hop", lit(0L)))
-      // Loop state in GraphIter is the frontier alone (Eager: each
-      // round's fresh set has TWO consumers — the settled union and
-      // the next anti-join — so it must materialize before either
-      // reads it). The settled set stays a lazy union chain over the
-      // cached fresh frames: linear in rounds, every leaf already
-      // materialized, nothing to re-race.
-      var settled = seed
-      GraphIter.run(seed, 3, 8, GraphIter.Eager) { (frontier, k) =>
-        val fresh = edges
-          .join(frontier.select(col("id").as("src")), "src")
-          .select(col("dst").as("id")).distinct()
-          .join(settled, Seq("id"), "left_anti")
-          .withColumn("hop", lit(k.toLong))
-        settled = settled.union(fresh)
-        fresh
+      // Loop state is BOTH frames — Seq(frontier, settled) — so the
+      // settled union rides GraphIter's checkpoint/release discipline
+      // with the frontier (Eager: each round's fresh set has TWO
+      // consumers — the settled union and the next anti-join — so it
+      // must materialize before either reads it). A closure-var
+      // settled (the pre-round-7 shape) grew a lazy union chain whose
+      // leaves were the per-round caches: once rounds exceed
+      // checkpointEvery, those leaves are localCheckpoint blocks the
+      // driver has RELEASED — unrecomputable — so the terminal action
+      // would fail at depth. In-state, settled is checkpointed and
+      // re-leafed together with the frontier (GraphIterSpec pins the
+      // depth-12 case).
+      val fin = GraphIter.run(Seq(seed, seed), 3, 8, GraphIter.Eager) {
+        case (Seq(frontier, settled), k) =>
+          val fresh = edges
+            .join(frontier.select(col("id").as("src")), "src")
+            .select(col("dst").as("id")).distinct()
+            .join(settled, Seq("id"), "left_anti")
+            .withColumn("hop", lit(k.toLong))
+          Seq(fresh, settled.union(fresh))
       }
-      settled.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+      fin(1).groupBy("hop").agg(count(lit(1)).as("n_nodes"))
     }),
 
     // ---- q188: order-insensitive bucketed table checksum ---------------

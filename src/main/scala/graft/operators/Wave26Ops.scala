@@ -49,7 +49,10 @@ object Wave26Ops {
       // persists so each is computed ONCE; without them every step's
       // plan re-derives the lineitem⋈orders+distinct+window chain
       // (exchange reuse does not span the persisted-walk boundary
-      // downstream consumers like q241 introduce).
+      // downstream consumers like q241 introduce). Released at the
+      // harness boundary — the GraftSession.releaseQueryCaches
+      // cache-lifetime contract — since the caller's terminal action
+      // runs after this builder returns.
       def materialized(df: DataFrame): DataFrame = {
         val p = df.persist(org.apache.spark.storage.StorageLevel
           .MEMORY_AND_DISK)

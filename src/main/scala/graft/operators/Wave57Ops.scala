@@ -25,8 +25,12 @@ object Wave57Ops {
 
   private val NsPerDay = 86400000000000L
 
-  /** Portable floor division for possibly-negative numerators (b > 0):
-    * Spark `div` truncates toward zero, DuckDB `//` floors. */
+  /** Floor division for possibly-negative numerators (b > 0). NB: both
+    * Spark `div` and DuckDB integer `//` truncate toward zero (verified
+    * round 6), so the two dialects already agree with each other — this
+    * remainder-shifted form is used where FLOOR (not truncate) semantics
+    * are wanted on signed values, and it evaluates identically in both
+    * engines because it is pure integer +/%/div arithmetic. */
   private def floorDiv(a: String, b: String): String =
     s"(($a) - ((($a) % ($b)) + ($b)) % ($b)) div ($b)"
 

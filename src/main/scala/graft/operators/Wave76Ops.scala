@@ -49,17 +49,21 @@ object Wave76Ops {
         .filter(col("src") % 2 === 0 && col("src") < 10)
         .select(col("src").as("seed"), col("src").as("id")).distinct()
         .withColumn("hop", lit(0L)))
-      var settled = seed
-      GraphIter.run(seed, 3, 8, GraphIter.Eager) { (frontier, k) =>
-        val fresh = edges
-          .join(frontier.select(col("seed"), col("id").as("src")), "src")
-          .select(col("seed"), col("dst").as("id")).distinct()
-          .join(settled, Seq("seed", "id"), "left_anti")
-          .withColumn("hop", lit(k.toLong))
-        settled = settled.union(fresh)
-        fresh
+      // settled rides GraphIter state (second frame) so the union is
+      // checkpointed and re-leafed with the frontier — a closure var
+      // would reference released localCheckpoint blocks past
+      // checkpointEvery rounds (see the q187 comment; GraphIterSpec
+      // runs this exact harmonic body 12 rounds deep with O(1) plans).
+      val fin = GraphIter.run(Seq(seed, seed), 3, 8, GraphIter.Eager) {
+        case (Seq(frontier, settled), k) =>
+          val fresh = edges
+            .join(frontier.select(col("seed"), col("id").as("src")), "src")
+            .select(col("seed"), col("dst").as("id")).distinct()
+            .join(settled, Seq("seed", "id"), "left_anti")
+            .withColumn("hop", lit(k.toLong))
+          Seq(fresh, settled.union(fresh))
       }
-      settled.filter(col("hop") > 0)
+      fin(1).filter(col("hop") > 0)
         .groupBy("id")
         .agg(count(lit(1)).as("n_seeds"),
           sum(expr("1000000 div hop")).as("harmonic_micro"))

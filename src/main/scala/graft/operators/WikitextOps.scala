@@ -75,6 +75,12 @@ object WikitextOps {
   /** Last staged root; `oracle` (a def, re-evaluated when Verify dumps
     * oracle_sql.json AFTER running the queries) points DuckDB at it. */
   @volatile private var stagedRoot: String = "/tmp/graft_stage/sf0.01"
+
+  /** Point the staged-table oracles at `stageRoot(d)` WITHOUT running
+    * the queries — for graft.DumpOracle, which dumps oracle_sql.json in
+    * its own JVM (the staged parquet must already exist there, e.g.
+    * written by a Bench/Verify run over the same sf dir). */
+  def pointOracleAt(d: String): Unit = { stagedRoot = stageRoot(d) }
   private var stagedDirs: Set[String] = Set.empty
 
   private def staged(s: SparkSession, d: String): Map[String, DataFrame] =

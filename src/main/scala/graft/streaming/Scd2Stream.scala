@@ -29,12 +29,25 @@ final case class Scd2Row(
   * record (the open version), watermark-bounded lifetime.
   *
   * Under AvailableNow each key's full batch folds in event order and
-  * the open version is emitted with validTo = -1 and the state
-  * cleared — stream == batch gaps-and-islands oracle. A continuous
-  * deployment would instead hold the open version in state and emit
-  * it on an EventTimeTimeout, exactly the Sessionize pattern.
+  * the open version is emitted with validTo = -1 — stream == batch
+  * gaps-and-islands oracle. That drain-finalize is only correct when a
+  * key's WHOLE stream lands in one micro-batch (true for a single-file
+  * AvailableNow source; a multi-file corpus or maxFilesPerTrigger can
+  * split it), so the operator now enforces the contract instead of
+  * assuming it: after finalizing, a sentinel stays in state, and a
+  * second micro-batch delivering the same key fails the query loudly
+  * rather than silently duplicating open versions and resetting the
+  * version numbering. A continuous deployment would instead hold the
+  * open version in state and emit it on an EventTimeTimeout, exactly
+  * the Sessionize pattern. Sentinel state is one tiny record per key,
+  * bounded by the key domain for the run's lifetime.
   */
 object Scd2Stream {
+
+  /** version < 0 marks "this key was already finalized in an earlier
+    * micro-batch" — any later arrival violates the AvailableNow
+    * single-batch contract this operator is specified under. */
+  private val Finalized = VersionState(-1L, 0L, -1L)
 
   def history(changes: Dataset[ChangeEvent]): Dataset[Scd2Row] = {
     implicit val stateEnc = Encoders.product[VersionState]
@@ -45,9 +58,17 @@ object Scd2Stream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, batch: Iterator[ChangeEvent],
          state: GroupState[VersionState]) =>
+          if (state.getOption.exists(_.version < 0)) {
+            throw new IllegalStateException(
+              s"Scd2Stream.history: key $key arrived in a second " +
+                "micro-batch after its drain-finalize. This operator " +
+                "assumes AvailableNow delivers each key's full stream " +
+                "in ONE batch; for multi-file/continuous sources use " +
+                "the EventTimeTimeout variant instead.")
+          }
           val sorted = batch.toSeq.sortBy(e => (e.ts, e.eventId))
           val out = Seq.newBuilder[Scd2Row]
-          var cur = state.getOption
+          var cur: Option[VersionState] = None
           sorted.foreach { e =>
             cur match {
               case Some(v) if e.newVal != v.value =>
@@ -58,11 +79,12 @@ object Scd2Stream {
                 cur = Some(VersionState(e.ts, e.newVal, 1L))
             }
           }
-          // AvailableNow drain: finalize the open version.
+          // AvailableNow drain: finalize the open version; leave the
+          // sentinel so a contract-violating second batch fails fast.
           cur.foreach { v =>
             out += Scd2Row(key, v.value, v.validFrom, -1L, v.version)
           }
-          state.remove()
+          state.update(Finalized)
           out.result().iterator
       }
   }

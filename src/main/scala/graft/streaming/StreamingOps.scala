@@ -307,12 +307,14 @@ object StreamingOps {
   def streamDriftMonitor(s: SparkSession, dir: String): DataFrame = {
     val agg = streamEvents(s, dir)
       .withColumn("etime", timestamp_seconds(expr("ts div 1000000000")))
-      // Spark `div` truncates toward zero while DuckDB `//` floors —
-      // they differ on negatives, so shift by the corpus value domain
-      // before dividing (the wave-19 recipe): bins stay non-negative
-      // and both engines agree even if a future corpus carries
-      // negative values. The +100_000_00 cent offset relabels bins by
-      // a constant (+2000), which drift comparison is invariant to.
+      // Both Spark `div` and DuckDB integer `//` truncate toward zero
+      // (verified round 6: -7//2 = -3 in both engines — NOT floor), so
+      // negatives already agree. The domain shift below is
+      // defense-in-depth, not a correctness requirement: it keeps bins
+      // non-negative so the recipe also survives an engine whose
+      // integer division floors. The +10_000_000 cent offset relabels
+      // bins by a constant (+2000), which drift comparison is
+      // invariant to.
       .withColumn("bin",
         expr("(CAST(floor(value * 100) AS BIGINT) + 10000000) div 5000"))
       .withWatermark("etime", "1 hour")

@@ -63,6 +63,35 @@ class MinHashSigsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("HashAggregate"), plan)
   }
 
+  test("NULL tokens follow concat_ws skip-null semantics bit-exactly") {
+    // A null token must contribute neither bytes nor a separator —
+    // exactly what concat_ws(' ', slice(tokens, i+1, 3)) computes — so
+    // a caller with nullable arrays is not silently divergent from the
+    // relational form the kernel claims bit-parity with.
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq[String]("alpha", null, "gamma", "delta")),
+      (2L, Seq[String](null, null, "solo", "x", null)),
+      (3L, Seq[String]("a", "b", "c")))
+    val df = rows.toDF("id", "tokens")
+    val native = df
+      .select(col("id"), expr("minhash_sigs(tokens)").as("sigs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val relational = df
+      .select(col("id"), explode(expr(
+        """transform(sequence(0, size(tokens) - 3),
+           i -> concat_ws(' ', slice(tokens, i + 1, 3)))"""))
+        .as("shingle"))
+      .groupBy("id")
+      .agg(array(
+        min(substring(md5(col("shingle")), 1, 8)),
+        min(substring(md5(col("shingle")), 9, 8)),
+        min(substring(md5(col("shingle")), 17, 8)),
+        min(substring(md5(col("shingle")), 25, 8))).as("sigs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(native == relational && native.size == 3)
+  }
+
   test("arrays with fewer than 3 tokens yield NULL (no shingles)") {
     import spark.implicits._
     val out = Seq("one two", "a b c").toDF("text")

@@ -97,6 +97,73 @@ class GraphIterSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected <=4 live cached RDDs, got ${after - before}")
   }
 
+  test("settled-in-state BFS at depth 12: O(1) plan, checkpoints survive") {
+    // The q187/q339 shape: TWO frames of state (frontier, settled),
+    // where settled accumulates a union per round. Carried as a
+    // closure var (the pre-round-7 form) the union chain's leaves are
+    // per-round caches that GraphIter RELEASES at each checkpoint —
+    // unrecomputable past round checkpointEvery. In-state, both frames
+    // checkpoint and re-leaf together, so 12 rounds with a checkpoint
+    // every 3 must terminate and match the checkpoint-free reference.
+    // A 50-node RING (i ↔ i+1 mod 50): connected, diameter 25, so the
+    // frontier is non-empty in every one of the 12 rounds — each round
+    // does real anti-join + union work (graph()'s chord graph splits
+    // into 4-cycles and would idle after round 2).
+    val edges = spark.range(50)
+      .selectExpr("id AS src", "(id + 1) % 50 AS dst")
+      .union(spark.range(50)
+        .selectExpr("(id + 1) % 50 AS src", "id AS dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val seed = spark.range(1).selectExpr("CAST(0 AS BIGINT) AS id",
+      "CAST(0 AS BIGINT) AS hop")
+    def freshOf(frontier: DataFrame, settled: DataFrame,
+        k: Int): DataFrame = edges
+      .join(frontier.select(col("id").as("src")), "src")
+      .select(col("dst").as("id")).distinct()
+      .join(settled, Seq("id"), "left_anti")
+      .withColumn("hop", lit(k.toLong))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val fin = GraphIter.run(Seq(seed, seed), rounds = 12,
+        checkpointEvery = 3, GraphIter.Eager) {
+      case (Seq(frontier, settled), k) =>
+        val fresh = freshOf(frontier, settled, k)
+        Seq(fresh, settled.union(fresh))
+    }
+    val got = fin(1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Reference: driver-side BFS over the collected 50-node edge set.
+    // (A DataFrame reference without GraphIter is impossible at this
+    // depth: settled is referenced twice per round, so the lazy-union
+    // plan doubles each round — 2^12 subtrees, analyzer OOM — which is
+    // the very failure mode this driver exists to prevent.)
+    val adj = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    val want = scala.collection.mutable.Map(0L -> 0L)
+    var front = Set(0L)
+    (1 to 12).foreach { k =>
+      front = front.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(want.contains)
+      front.foreach(want(_) = k.toLong)
+    }
+    assert(got == want.toSet)
+    assert(got.size == 25) // hops 0..12 in both ring directions
+    // Settled's plan hangs off the round-9 checkpoint leaf plus the
+    // <=3 rounds since it (settled is referenced twice per round, so
+    // that tail contributes up to 2^3 subtree copies): bounded by
+    // checkpointEvery — CONSTANT in total depth — where the
+    // uncheckpointed form would carry 2^12 copies (~thousands of
+    // lines; measured 182 here vs analyzer OOM without GraphIter).
+    val planLines = fin(1).queryExecution.analyzed.treeString
+      .linesIterator.size
+    assert(planLines < 400, s"plan unexpectedly deep: $planLines lines")
+    // Live blocks: last checkpoint pair + rounds-since-it pairs, not
+    // one pair per round (graph() leaves 2 persisted frames behind).
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 10,
+      s"expected <=10 live cached RDDs, got ${after - before}")
+    edges.unpersist()
+  }
+
   test("Chain mode with checkpoints matches Chain without") {
     val init = spark.range(6).selectExpr("id", "CAST(1 AS BIGINT) AS v")
     def body(df: DataFrame, i: Int): DataFrame =

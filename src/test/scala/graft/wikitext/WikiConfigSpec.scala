@@ -68,6 +68,48 @@ class WikiConfigSpec extends AnyFunSuite {
     assert(legacy.citationExact.isEmpty)
   }
 
+  test("EVERY domain in the reference's own wikis.yaml resolves with " +
+      "identical sections + template matchers (full-file parity)") {
+    // The reference deployment's actual config file (read-only test
+    // input, never bundled or copied): parse it with the SAME loader a
+    // user would point at it, then assert each entry resolves through
+    // the engine's lookup exactly as the reference's wiki_config.py
+    // would — sections verbatim, prefixes in order, exacts as a set.
+    val path = java.nio.file.Paths.get("/root/reference/wikis.yaml")
+    assume(java.nio.file.Files.exists(path), "reference tree not mounted")
+    val in = java.nio.file.Files.newInputStream(path)
+    val parsed = try WikiConfig.parseYaml(in) finally in.close()
+    assert(parsed.nonEmpty)
+    parsed.foreach { case (domain, want) =>
+      // Resolution for a CONFIGURED domain must be its own entry (no
+      // accidental en-fallback shadowing) ...
+      val got = WikiConfig.forDomain(domain)
+      assert(got.referenceSections == want.referenceSections,
+        s"$domain sections")
+      assert(got.citationPrefixes == want.citationPrefixes,
+        s"$domain prefixes")
+      assert(got.citationExact == want.citationExact, s"$domain exacts")
+      // ... and the behavioral surface agrees: every declared section
+      // matches (case/space-insensitively, wiki_config.py:18-20), every
+      // declared prefix/exact template is recognized.
+      want.referenceSections.foreach { s =>
+        assert(WikiConfig.isReferenceSection(domain, s" ${s.toUpperCase} "),
+          s"$domain section '$s'")
+      }
+      want.citationPrefixes.foreach { p =>
+        assert(WikiConfig.isCitationTemplate(domain, s"${p}_anything"),
+          s"$domain prefix '$p'")
+      }
+      want.citationExact.foreach { x =>
+        assert(WikiConfig.isCitationTemplate(domain, x.capitalize),
+          s"$domain exact '$x'")
+      }
+    }
+    // The reference file carries en/it/af today; the loop above is
+    // future-proof if the deployment adds wikis.
+    assert(parsed.keySet.contains("en.wikipedia.org"))
+  }
+
   test("parseYaml accepts a user-supplied wiki definition at runtime") {
     val yaml =
       """de.wikipedia.org:
