@@ -1337,6 +1337,75 @@ object ScaleProbe {
                  CAST(0 AS DOUBLE), (acc, t) -> acc + t), 6)"""))
           .groupBy("vec_id", "label")
           .agg(min(struct(col("score"), col("clabel"))).as("m"))
+      }),
+
+      "zorder_layout" -> (k => {
+        // q385 shape: one scan explodes 3 layout tags, one (layout,
+        // file) zone-map agg. Files are VALUE buckets, so replication
+        // multiplies per-file occupancy, never file count — the probe
+        // should track the scan.
+        val li = scaled("lineitem", k, "l_orderkey").select(
+          (col("l_partkey") % 256).as("a"),
+          (col("l_suppkey") % 256).as("b"), col("l_orderkey"))
+        val z = (0 until 8).map { i =>
+          s"(((a) div ${1 << i}) % 2) * ${1L << (2 * i)}" +
+            s" + (((b) div ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        li.withColumn("zf", expr(s"($z) div 256"))
+          .select(col("a"), col("b"), explode(array(
+            struct(lit("z").as("layout"), col("zf").as("file")),
+            struct(lit("l").as("layout"), col("a").as("file")),
+            struct(lit("r").as("layout"),
+              (col("l_orderkey") % 256).as("file")))).as("lf"))
+          .groupBy("lf.layout", "lf.file")
+          .agg(count(lit(1)).as("n"), min("a").as("mna"),
+            max("a").as("mxa"), min("b").as("mnb"), max("b").as("mxb"))
+      }),
+
+      "adaptive_lsh_knn" -> (k => {
+        // q386 shape with the adaptivity made explicit: the sign-LSH
+        // code length grows with the corpus (bits = bitlength((n-1)
+        // div 125)), so the within-bucket pair stage is O(n · 125) —
+        // the probe's ratio must track n, NOT n² (a fixed code would
+        // read ~k²). Probe uses 4 planes + id-salt buckets to keep the
+        // replicated copies from landing in identical buckets.
+        val e = scaled("embeddings", k, "vec_id")
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val n = e.count()
+        val bits = math.max(4, java.lang.Long.toBinaryString(
+          math.max(1L, (n - 1) / 125)).length)
+        val bucketed = e.withColumn("bucket",
+          expr(s"pmod(CAST(conv(substring(md5(CAST(vec_id AS STRING))," +
+            s" 1, 13), 16, 10) AS BIGINT), ${1L << bits})"))
+        val a = bucketed.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_vec"), col("bucket"))
+        val b = bucketed.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_vec"), col("bucket"))
+        a.join(b, "bucket").filter(col("a_id") =!= col("b_id"))
+          .select(col("a_id"),
+            round(call_function("array_dot", col("a_vec"), col("b_vec")),
+              6).as("dp"))
+          .groupBy("a_id").agg(max("dp").as("best"))
+      }),
+
+      "blocking_audit" -> (k => {
+        // q387 shape: four grouped size aggregations + C(n,2)
+        // arithmetic, zero pair materialization — the audit must scale
+        // with the corpus even as the (quadratic) pair COUNTS it
+        // reports explode.
+        val c = scaled("customer", k, "c_custkey").select(
+          col("c_nationkey").cast("long").as("nat"), col("c_mktsegment")
+            .as("seg"),
+          expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("cents"))
+          .withColumn("tk", expr("cents div 1000"))
+          .withColumn("b1", expr("cents div 3000"))
+        val g1 = c.groupBy("b1").agg(count(lit(1)).as("n"))
+          .agg(expr("sum(n * (n - 1) div 2)").as("v"))
+        val g2 = c.groupBy("nat", "seg").agg(count(lit(1)).as("n"))
+          .agg(expr("sum(n * (n - 1) div 2)").as("v"))
+        val g3 = c.groupBy("nat", "tk", "b1").agg(count(lit(1)).as("n"))
+          .agg(expr("sum(n * (n - 1) div 2)").as("v"))
+        g1.unionByName(g2).unionByName(g3).agg(sum("v").as("t"))
       }))
 
     def time(df: => DataFrame): Double = {

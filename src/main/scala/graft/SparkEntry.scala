@@ -49,7 +49,7 @@ object SparkEntry {
       Wave88Ops.queries ++ Wave89Ops.queries ++ Wave90Ops.queries ++
       Wave91Ops.queries ++ Wave92Ops.queries ++ Wave93Ops.queries ++
       Wave94Ops.queries ++ Wave95Ops.queries ++ Wave96Ops.queries ++
-      Wave97Ops.queries ++ Wave98Ops.queries ++
+      Wave97Ops.queries ++ Wave98Ops.queries ++ Wave99Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -84,6 +84,6 @@ object SparkEntry {
       Wave88Ops.oracle ++ Wave89Ops.oracle ++ Wave90Ops.oracle ++
       Wave91Ops.oracle ++ Wave92Ops.oracle ++ Wave93Ops.oracle ++
       Wave94Ops.oracle ++ Wave95Ops.oracle ++ Wave96Ops.oracle ++
-      Wave97Ops.oracle ++ Wave98Ops.oracle ++
+      Wave97Ops.oracle ++ Wave98Ops.oracle ++ Wave99Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }
