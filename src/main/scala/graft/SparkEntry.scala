@@ -50,6 +50,7 @@ object SparkEntry {
       Wave91Ops.queries ++ Wave92Ops.queries ++ Wave93Ops.queries ++
       Wave94Ops.queries ++ Wave95Ops.queries ++ Wave96Ops.queries ++
       Wave97Ops.queries ++ Wave98Ops.queries ++ Wave99Ops.queries ++
+      Wave100Ops.queries ++
       graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
@@ -85,5 +86,6 @@ object SparkEntry {
       Wave91Ops.oracle ++ Wave92Ops.oracle ++ Wave93Ops.oracle ++
       Wave94Ops.oracle ++ Wave95Ops.oracle ++ Wave96Ops.oracle ++
       Wave97Ops.oracle ++ Wave98Ops.oracle ++ Wave99Ops.oracle ++
+      Wave100Ops.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -61,8 +61,12 @@ class BottomKSample(k: Int)
 
 object BottomKSample {
   /** Sorted bounded insert keyed on the hash; distinct hash keys assumed
-    * (callers hash a unique row id). O(log k) search + bounded copy. */
-  private[functions] def insert(
+    * (callers hash a unique row id). O(log k) search + bounded copy.
+    * `private[graft]` so the streaming twin (StreamingOps
+    * streamQuantileSketch) folds its per-key state through the SAME
+    * kernel the batch Aggregator runs — stream == batch by
+    * construction, not by reimplementation. */
+  private[graft] def insert(
       b: (Array[Long], Array[Double]), h: Long, v: Double,
       k: Int): (Array[Long], Array[Double]) = {
     val (hs, vs) = b

@@ -228,11 +228,17 @@ object AnalyticsOps {
       // — the old edges⋈deg materialization moved the full edge list
       // through an extra shuffle+cache for a value the broadcast
       // carries for free (measured ~15% of the query).
-      val edges0 = materialized(eo
+      // half-size eo is the cached frame; the symmetrized edge list is
+      // a map-only projection of it per consumer (caching post-explode
+      // re-plans the join+distinct subtree once per explode branch
+      // inside the InMemoryRelation — the round-7 q194 plan audit
+      // caught lineitem⋈orders running twice; same fix here)
+      val eoM = materialized(eo)
+      val edges0 = eoM
         .select(explode(array(
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val deg = materialized(
         edges0.groupBy("src").agg(count(lit(1)).as("deg")))
       pagerank(edges0, deg, rounds = 3)

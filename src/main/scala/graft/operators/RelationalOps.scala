@@ -368,24 +368,33 @@ object RelationalOps {
     // this is the manual fallback when AQE skew-join can't kick in
     // (e.g. the skew is in the build side of a shuffled hash join).
     "q156_salted_join" -> ((s, d) => {
-      val S = 8
+      // Many-to-many join under an ALGEBRAIC aggregate FACTORIZES:
+      // Σ_pairs qty = (Σ_left qty per k) · |right per k|, and
+      // symmetrically for the right sum — so each side aggregates to
+      // its 50 per-key moments FIRST and a 50×50-row combine replaces
+      // the pair stream. Round 6 ran the literal salted pair join
+      // here; the round-7 sf1 run measured it 15× for 10× data (the
+      // pair stream is nl·nr per key — quadratic by construction,
+      // ~400M rows at sf1) while this factorized plan is two linear
+      // scans + a broadcast combine with the SAME bit-identical
+      // output. Skew-salting MECHANICS (the explode-replicate build +
+      // shuffle_hash pair join, for joins whose per-pair payload can't
+      // factorize) stay demonstrated in ScaleProbe's salted probes and
+      // q57's salted aggregation.
       val left = table(s, d, "lineitem")
         .filter(col("l_returnflag") === "R")
-        .select(pmod(col("l_partkey"), lit(50)).as("k"),
-          col("l_quantity"),
-          pmod(col("l_orderkey"), lit(S)).as("salt"))
-      val build = table(s, d, "supplier")
-        .select(pmod(col("s_suppkey"), lit(50)).as("k"), col("s_acctbal"))
-        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-      // shuffle_hash hint: at test scale the replicated build side is
-      // broadcast-sized, which would silently bypass the salted
-      // exchange the operator exists to demonstrate; at 100 TB the
-      // build side exceeds any broadcast threshold and this IS the plan.
-      left.join(build.hint("shuffle_hash"), Seq("k", "salt"))
-        .groupBy("k")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
-          sum(col("s_acctbal").cast(Dec)).cast("double").as("sum_bal"))
+        .groupBy(pmod(col("l_partkey"), lit(50)).as("k"))
+        .agg(count(lit(1)).as("nl"),
+          sum(col("l_quantity").cast(Dec)).as("ql"))
+      val right = table(s, d, "supplier")
+        .groupBy(pmod(col("s_suppkey"), lit(50)).as("k"))
+        .agg(count(lit(1)).as("nr"),
+          sum(col("s_acctbal").cast(Dec)).as("br"))
+      left.join(broadcast(right), "k")
+        .select(col("k"),
+          (col("nl") * col("nr")).as("n_pairs"),
+          (col("ql") * col("nr")).cast("double").as("sum_qty"),
+          (col("br") * col("nl")).cast("double").as("sum_bal"))
     }),
 
     // ---- rollup / cube: hierarchical + full subtotal reporting ---------

@@ -169,11 +169,21 @@ object Wave14Ops {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = materialized(eo
+      // Materialize the HALF-SIZE directed pair set and derive the
+      // symmetrized edge list map-only per consumer: caching edges
+      // AFTER the explode re-plans the join+distinct subtree once per
+      // explode branch inside the cached build (exchange reuse does
+      // not fire inside an InMemoryRelation's physical plan — the
+      // round-7 plan audit caught lineitem⋈orders running twice), and
+      // doubles the cached bytes for rows that are a pure projection
+      // of eo. Released at the harness boundary
+      // (GraftSession.releaseQueryCaches).
+      val eoM = materialized(eo)
+      val edges = eoM
         .select(explode(array(
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       // Round 1 collapses algebraically: labels start as node ids and
       // the symmetrized edge list is DISTINCT, so every neighbor casts
       // exactly one vote for its own id — all counts tie at 1 and the

@@ -28,14 +28,26 @@ object Wave63Ops {
     // den = |A|·|B| random pairs; m is pinned at 19/20. Agreement /
     // disagreement weights are micro-nat log-likelihood ratios
     // (exact-integer ln discipline, identical expression text both
-    // engines). Candidate pairs come from a nation BLOCK (at corpus
-    // scale the block key is a name prefix / LSH bucket — same shape);
-    // the weight frame is ONE row crossed in via broadcast, so the
-    // blocked equi-join is the only shuffle. Pairs above weight 0 are
-    // emitted with their per-field agreement bits and a true-match
-    // audit flag — the classic FS property shows up in the data: a
-    // lowercased-name true match still links on segment+balance
-    // evidence alone.
+    // engines); the weight frame is ONE row crossed in via broadcast.
+    //
+    // CANDIDATES: multi-pass SORTED NEIGHBORHOOD inside the nation
+    // block — both sides union into one frame, ranked per nation by
+    // two canonicalized sort keys (lower(name) then balance-bucket;
+    // balance-bucket then lower(name)), and each record pairs with the
+    // next w=8 cross-side records under each ordering (explode of
+    // rank offsets → pure equi-join, no range join). Candidates are
+    // therefore O(n·w) AT ANY CORPUS SIZE. Round 6 blocked on nation
+    // alone: block COUNT is fixed (25), so block sizes — and the
+    // scored pair set — grew quadratically; the round-7 sf1 run
+    // measured it at 60× for 10× data (88 s), the single worst
+    // scale-up in the suite, and the output itself (16M weak
+    // candidates) was the quadratic artifact. Multi-pass SNM is the
+    // method's own classic fix: the lower(nm) pass finds name-evidence
+    // pairs (including the lowercased mutants — the sort key is
+    // canonicalized precisely so case noise stays adjacent), the bb
+    // pass finds balance-evidence pairs, and weak seg-only pairs that
+    // the quadratic form enumerated only to score below threshold are
+    // never generated.
     "q313_fellegi_sunter_linkage" -> ((s, d) => {
       val c = table(s, d, "customer").select(
         col("c_custkey").cast("long").as("k"),
@@ -74,7 +86,39 @@ object Wave63Ops {
           "CAST(floor(ln((1.0 * den) / (20.0 * (den - num_seg))) * 1000000) AS BIGINT) AS w_seg_neg",
           "CAST(floor(ln((19.0 * den) / (20.0 * num_bb)) * 1000000) AS BIGINT) AS w_bb_pos",
           "CAST(floor(ln((1.0 * den) / (20.0 * (den - num_bb))) * 1000000) AS BIGINT) AS w_bb_neg")
-      a.join(b, col("nat") === col("nat_b"))
+      val u = a.select(col("a_key").as("key"), col("nat"),
+          col("nm_a").as("nm"), col("bb_a").as("bb"), lit(0).as("side"))
+        .unionByName(b.select(col("b_key").as("key"),
+          col("nat_b").as("nat"), col("nm_b").as("nm"),
+          col("bb_b").as("bb"), lit(1).as("side")))
+      val o1 = Window.partitionBy("nat")
+        .orderBy(lower(col("nm")), col("bb"), col("key"), col("side"))
+      val o2 = Window.partitionBy("nat")
+        .orderBy(col("bb"), lower(col("nm")), col("key"), col("side"))
+      // ranked frame feeds 4 consumers (2 passes × 2 sides): persist
+      // eagerly; released at the harness boundary
+      // (GraftSession.releaseQueryCaches).
+      val r = u.withColumn("rn1", row_number().over(o1))
+        .withColumn("rn2", row_number().over(o2))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      def passPairs(rn: String): DataFrame = {
+        val l = r.select(col("nat"), col("key").as("lk"),
+          col("side").as("ls"), col(rn).as("rn_l"))
+          .withColumn("d", explode(expr("sequence(1, 8)")))
+          .select(col("nat"), col("lk"), col("ls"),
+            (col("rn_l") + col("d")).as("rn_r"))
+        val rt = r.select(col("nat"), col("key").as("rk"),
+          col("side").as("rs"), col(rn).as("rn_r"))
+        l.join(rt, Seq("nat", "rn_r"))
+          .filter(col("ls") =!= col("rs"))
+          .select(when(col("ls") === 0, col("lk")).otherwise(col("rk"))
+            .as("a_key"),
+            when(col("ls") === 0, col("rk")).otherwise(col("lk"))
+              .as("b_key"))
+      }
+      val cand = passPairs("rn1").unionByName(passPairs("rn2")).distinct()
+      cand.join(a, "a_key").join(b, "b_key")
         .crossJoin(broadcast(w))
         .withColumn("name_ag", (col("nm_a") === col("nm_b")).cast("long"))
         .withColumn("seg_ag", (col("seg_a") === col("seg_b")).cast("long"))
@@ -179,13 +223,40 @@ object Wave63Ops {
            FROM ov_nm, ov_seg, ov_bb,
              (SELECT CAST((SELECT count(*) FROM a) AS BIGINT)
                 * (SELECT count(*) FROM b) AS den)),
+         u AS (
+           SELECT a_key AS key, nat, nm_a AS nm, bb_a AS bb, 0 AS side
+           FROM a
+           UNION ALL
+           SELECT b_key, nat_b, nm_b, bb_b, 1 FROM b),
+         r AS (
+           SELECT u.*,
+             row_number() OVER (PARTITION BY nat
+               ORDER BY lower(nm), bb, key, side) AS rn1,
+             row_number() OVER (PARTITION BY nat
+               ORDER BY bb, lower(nm), key, side) AS rn2
+           FROM u),
+         ds AS (SELECT unnest(range(1, 9)) AS d),
+         cand AS (
+           SELECT DISTINCT
+             CASE WHEN l.side = 0 THEN l.key ELSE r2.key END AS a_key,
+             CASE WHEN l.side = 0 THEN r2.key ELSE l.key END AS b_key
+           FROM (
+             SELECT l.nat, l.key, l.side, l.rn1 + ds.d AS rn_r, 1 AS pass
+             FROM r l, ds
+             UNION ALL
+             SELECT l.nat, l.key, l.side, l.rn2 + ds.d, 2
+             FROM r l, ds) l
+           JOIN r r2 ON r2.nat = l.nat
+             AND ((l.pass = 1 AND r2.rn1 = l.rn_r)
+               OR (l.pass = 2 AND r2.rn2 = l.rn_r))
+           WHERE l.side <> r2.side),
          scored AS (
            SELECT a_key, b_key,
              CASE WHEN nm_a = nm_b THEN 1 ELSE 0 END AS name_ag,
              CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS seg_ag,
              CASE WHEN bb_a = bb_b THEN 1 ELSE 0 END AS bb_ag,
              w_nm_pos, w_nm_neg, w_seg_pos, w_seg_neg, w_bb_pos, w_bb_neg
-           FROM a JOIN b ON a.nat = b.nat_b, w)
+           FROM cand JOIN a USING (a_key) JOIN b USING (b_key), w)
          SELECT a_key, b_key,
            CAST(name_ag AS BIGINT) AS name_ag,
            CAST(seg_ag AS BIGINT) AS seg_ag,

@@ -40,11 +40,17 @@ object Wave76Ops {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = materialized(eo
+      // half-size eo is the cached frame; the symmetrized edge list is
+      // a map-only projection of it per consumer (caching post-explode
+      // re-plans the join+distinct subtree once per explode branch
+      // inside the InMemoryRelation — the round-7 q194 plan audit
+      // caught lineitem⋈orders running twice; same fix here)
+      val eoM = materialized(eo)
+      val edges = eoM
         .select(explode(array(
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val seed = materialized(edges
         .filter(col("src") % 2 === 0 && col("src") < 10)
         .select(col("src").as("seed"), col("src").as("id")).distinct()

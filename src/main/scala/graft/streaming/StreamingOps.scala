@@ -394,6 +394,63 @@ object StreamingOps {
                 div 1000000""").as("hll_est"))
   }
 
+  /** Streaming twin of the q184 bottom-k-by-hash quantile sketch: per
+    * event_type the state folds through the SAME bounded kernel the
+    * batch Aggregator runs (`BottomKSample.insert` — bottom-256 hashes,
+    * min value per colliding hash), so the drained sample is the batch
+    * sample by construction; the identical percentile aggregation then
+    * runs on the drained rows — stream == batch against q184's oracle.
+    * State is <= k (hash, value) pairs per event_type — bounded,
+    * mergeable, watermark-free (a bottom-k set only ever shrinks its
+    * threshold). Like Scd2Stream, the sample rows are emitted at the
+    * AvailableNow drain under a single-batch contract enforced by a
+    * sentinel (a second batch for a key fails loudly; a continuous
+    * deployment would emit on timeout instead). */
+  def streamQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val k = 256
+    val rows = streamEvents(s, dir)
+      .select(col("event_type"),
+        expr("""CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 13),
+             16, 10) AS BIGINT)""").as("hv"),
+        col("value"))
+      .as[(String, Long, Double)]
+    implicit val stEnc =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Array[Long], Array[Double])]()
+    val sampled = rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Long], Array[Double]),
+        (String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[(String, Long, Double)],
+         state: GroupState[(Array[Long], Array[Double])]) =>
+          if (state.getOption.exists(p =>
+              p._1.length == 1 && p._1(0) == -1L)) {
+            throw new IllegalStateException(
+              s"streamQuantileSketch: key $key arrived after its drain " +
+                "emit — single-batch AvailableNow contract violated.")
+          }
+          var acc = state.getOption
+            .getOrElse((Array.emptyLongArray, Array.emptyDoubleArray))
+          batch.foreach { case (_, hv, v) =>
+            acc = graft.functions.BottomKSample.insert(acc, hv, v, k)
+          }
+          state.update((Array(-1L), Array.emptyDoubleArray)) // sentinel
+          acc._1.indices.iterator.map(i => (key, acc._1(i), acc._2(i)))
+      }
+    val drained = runToTable(sampled.toDF("event_type", "hv", "value"),
+      "append")
+    drained.groupBy("event_type")
+      .agg(count(lit(1)).as("n_sample"),
+        round(expr("percentile(value, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(value, 0.50D)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75D)"), 4).as("p75"),
+        round(expr("percentile(value, 0.95D)"), 4).as("p95"))
+      .select(col("event_type"), col("n_sample"),
+        col("p25"), col("p50"), col("p75"), col("p95"))
+  }
+
   /** Streaming SCD2 history per user (Scd2Stream): every event is an
     * upsert of the user's balance version; the stream emits closed
     * validity intervals as values change and the open version at the
@@ -508,6 +565,7 @@ object StreamingOps {
     "q323_stream_burst" -> ((s, d) => streamBurstDetection(s, d)),
     "q311_stream_scd2" -> ((s, d) => streamScd2History(s, d)),
     "q297_stream_hll" -> ((s, d) => streamHllDistinct(s, d)),
+    "q389_stream_quantile_sketch" -> ((s, d) => streamQuantileSketch(s, d)),
     "q286_stream_topk" -> ((s, d) => streamTopkWindows(s, d)),
     "q249_stream_drift" -> ((s, d) => streamDriftMonitor(s, d)),
     "q195_stream_cdc_apply" -> ((s, d) => streamCdcApply(s, d)),
@@ -594,6 +652,10 @@ object StreamingOps {
            CAST((cnt * 24 * 1000000) // trail_sum AS BIGINT) AS ratio_ppm
          FROM trail
          WHERE trail_n = 24 AND cnt * 24 > trail_sum * 2""",
+    // Identical statement as batch q184 — the stream folds its state
+    // through the same bottom-k kernel, so stream == batch.
+    "q389_stream_quantile_sketch" ->
+      graft.operators.RelationalOps.oracle("q184_quantile_sketch"),
     // Batch gaps-and-islands compression of the same change stream:
     // version starts where the value differs from its predecessor
     // (event order = (ts, event_id)); valid_to = next start, -1 open.

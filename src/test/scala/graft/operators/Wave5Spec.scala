@@ -50,13 +50,22 @@ class Wave5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("q156: the join keys on (k, salt) — hot keys fan out over reducers") {
+  test("q156: factorized plan — the pair stream never materializes") {
+    // Round 7 replaced the literal salted pair join with the algebraic
+    // factorization (aggregate each side per key, broadcast-combine):
+    // the sf1 run measured the pair stream at 15× for 10× data — nl·nr
+    // rows per key by construction — while the factorized plan is two
+    // linear scans with the SAME output (the equivalence test above
+    // compares against the literal pair-join definition). The plan
+    // must therefore carry the per-side aggregates BELOW the join and
+    // no (k, salt) pair exchange anywhere.
     val df = RelationalOps.queries("q156_salted_join")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // the pre-aggregation join must cluster on BOTH key and salt
-    assert(plan.contains("hashpartitioning(k"))
-    assert(plan.contains("salt"), "salt must be part of the join key")
+    assert(!plan.contains("salt"), "the salted pair join is gone")
+    // both sides aggregate before the combine join
+    assert(plan.contains("partial_count"), plan.linesIterator.take(5)
+      .mkString("\n"))
   }
 
   test("q157 bigram LM: repeated text scores above unique text") {

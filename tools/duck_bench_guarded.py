@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Guarded DuckDB oracle bench + pair-artifact merge.
+
+Two lessons from the first sf1 attempt are baked in:
+
+1. COUNT-WRAP, don't fetchall: the Spark side times `df.count()`, under
+   which Catalyst prunes the final projection and drops result-only
+   sorts — so the fair DuckDB mirror is `SELECT count(*) FROM (<sql>)`,
+   which gives DuckDB the same courtesies and, crucially, never
+   materializes a quadratic result set into Python tuples (the first
+   sf1 run hit 98 GB RSS inside fetchall on a pair-explosion query).
+2. PER-STATEMENT BUDGET: a watchdog thread calls con.interrupt() after
+   `budget` seconds; the statement is recorded as timed-out at the
+   budget instead of wedging the whole artifact.
+
+Usage:
+  python3 tools/duck_bench_guarded.py <sfdir> <oracle.json> \
+      <spark_detail.json> <out_pair.json> [budget_sec=300]
+
+Writes the same bench-pair artifact shape as tools/bench_pair.py,
+with `duckdb.protocol` marking the count-wrap and any timeouts listed.
+"""
+import sys, os, json, time, threading, subprocess
+import duckdb
+
+SF = sys.argv[1]
+ORACLE = sys.argv[2]
+SPARK_DETAIL = sys.argv[3]
+OUT = sys.argv[4]
+BUDGET = float(sys.argv[5]) if len(sys.argv) > 5 else 300.0
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    oracle = json.load(open(ORACLE))
+    names = sorted(n for n in oracle if not n.endswith(".parquet"))
+    times, failed, timeouts = {}, [], []
+
+    def run_guarded(sql):
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(BUDGET):
+                con.interrupt()
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        try:
+            con.execute(f"SELECT count(*) FROM ({sql}) __t").fetchall()
+        finally:
+            done.set()
+        w.join()
+
+    for i, name in enumerate(names):
+        sql = oracle[name]
+        t0 = time.perf_counter()
+        try:
+            run_guarded(sql)           # warm-up (I/O cache, plan)
+            t1 = time.perf_counter()
+            run_guarded(sql)
+            times[name] = round(time.perf_counter() - t1, 3)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            if time.perf_counter() - t0 >= BUDGET - 1:
+                timeouts.append(name)
+                times[name] = BUDGET   # charged at the budget
+            else:
+                failed.append(name)
+        if (i + 1) % 50 == 0:
+            print(f"[duck-guard] {i+1}/{len(names)} "
+                  f"({sum(times.values()):.0f}s so far)", flush=True)
+
+    spark_q = json.load(open(SPARK_DETAIL))["detail"]
+    spark_total = round(sum(spark_q.values()), 3)
+    duck_total = round(sum(times.values()), 3)
+    common = sorted(set(spark_q) & set(times))
+    ratio = (round(sum(spark_q[n] for n in common)
+                   / max(1e-9, sum(times[n] for n in common)), 3)
+             if common else None)
+    tree_sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                              capture_output=True, text=True).stdout.strip()
+    out = {
+        "metric": "bench_pair",
+        "tree_sha": tree_sha,
+        "sf": SF,
+        "protocol": "Spark: min of 2 warm reps of df.count(); DuckDB: "
+                    "1 warm rep of SELECT count(*) FROM (<sql>) — the "
+                    "count-wrap mirrors Spark's count() projection "
+                    f"pruning; per-statement budget {BUDGET:.0f}s via "
+                    "con.interrupt(), timeouts charged at budget",
+        "spark": {"total_sec": spark_total, "n": len(spark_q),
+                  "queries": spark_q},
+        "duckdb": {"total_sec": duck_total, "n": len(times),
+                   "failed": failed, "timeouts": timeouts,
+                   "queries": times},
+        "common_n": len(common),
+        "spark_over_duckdb": ratio,
+        "spark_only": sorted(set(spark_q) - set(times)),
+        "duckdb_only": sorted(set(times) - set(spark_q)),
+    }
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"spark_total": spark_total,
+                      "duckdb_total": duck_total,
+                      "ratio": ratio, "timeouts": timeouts,
+                      "failed": failed, "common_n": len(common)}))
+
+
+if __name__ == "__main__":
+    main()
