@@ -9,9 +9,13 @@ Two lessons from the first sf1 attempt are baked in:
    which gives DuckDB the same courtesies and, crucially, never
    materializes a quadratic result set into Python tuples (the first
    sf1 run hit 98 GB RSS inside fetchall on a pair-explosion query).
-2. PER-STATEMENT BUDGET: a watchdog thread calls con.interrupt() after
-   `budget` seconds; the statement is recorded as timed-out at the
-   budget instead of wedging the whole artifact.
+2. PER-STATEMENT SUBPROCESS with a kill-on-timeout budget: each
+   statement runs in its own tools/duck_one.py process, so a hang is
+   killed at the budget and a crash loses one statement, not the
+   artifact (the in-process con.interrupt() watchdog variant crashed
+   the whole run silently on its first firing). Timing happens INSIDE
+   the child (warm-up + timed rep), so process startup never pollutes
+   the per-query numbers.
 
 Usage:
   python3 tools/duck_bench_guarded.py <sfdir> <oracle.json> \
@@ -20,8 +24,8 @@ Usage:
 Writes the same bench-pair artifact shape as tools/bench_pair.py,
 with `duckdb.protocol` marking the count-wrap and any timeouts listed.
 """
-import sys, os, json, time, threading, subprocess
-import duckdb
+import sys, os, json, time, subprocess
+import tempfile
 
 SF = sys.argv[1]
 ORACLE = sys.argv[2]
@@ -34,43 +38,32 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.load(open(ORACLE))
     names = sorted(n for n in oracle if not n.endswith(".parquet"))
-    times, failed, timeouts = {}, [], []
-
-    def run_guarded(sql):
-        done = threading.Event()
-
-        def watchdog():
-            if not done.wait(BUDGET):
-                con.interrupt()
-        w = threading.Thread(target=watchdog, daemon=True)
-        w.start()
-        try:
-            con.execute(f"SELECT count(*) FROM ({sql}) __t").fetchall()
-        finally:
-            done.set()
-        w.join()
-
+    times, failed, timeouts, counts = {}, [], [], {}
+    runner = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "duck_one.py")
     for i, name in enumerate(names):
-        sql = oracle[name]
-        t0 = time.perf_counter()
+        with tempfile.NamedTemporaryFile("w", suffix=".sql",
+                                         delete=False) as f:
+            f.write(oracle[name]); sqlfile = f.name
         try:
-            run_guarded(sql)           # warm-up (I/O cache, plan)
-            t1 = time.perf_counter()
-            run_guarded(sql)
-            times[name] = round(time.perf_counter() - t1, 3)
-        except KeyboardInterrupt:
-            raise
-        except Exception as e:
-            if time.perf_counter() - t0 >= BUDGET - 1:
-                timeouts.append(name)
-                times[name] = BUDGET   # charged at the budget
+            r = subprocess.run(
+                [sys.executable, runner, SF, sqlfile],
+                capture_output=True, text=True, timeout=BUDGET)
+            if r.returncode == 0:
+                out = json.loads(r.stdout.strip().splitlines()[-1])
+                times[name] = out["t"]
+                counts[name] = out["rows"]
             else:
                 failed.append(name)
+                sys.stderr.write(f"[duck-guard] {name} FAILED: "
+                                 f"{r.stderr[-300:]}\n")
+        except subprocess.TimeoutExpired:
+            timeouts.append(name)
+            times[name] = BUDGET       # charged at the budget
+        finally:
+            os.unlink(sqlfile)
         if (i + 1) % 50 == 0:
             print(f"[duck-guard] {i+1}/{len(names)} "
                   f"({sum(times.values()):.0f}s so far)", flush=True)
@@ -91,13 +84,14 @@ def main():
         "protocol": "Spark: min of 2 warm reps of df.count(); DuckDB: "
                     "1 warm rep of SELECT count(*) FROM (<sql>) — the "
                     "count-wrap mirrors Spark's count() projection "
-                    f"pruning; per-statement budget {BUDGET:.0f}s via "
-                    "con.interrupt(), timeouts charged at budget",
+                    f"pruning; per-statement subprocess with a "
+                    f"{BUDGET:.0f}s kill budget, timeouts charged at "
+                    "budget; warm-up runs inside the child",
         "spark": {"total_sec": spark_total, "n": len(spark_q),
                   "queries": spark_q},
         "duckdb": {"total_sec": duck_total, "n": len(times),
                    "failed": failed, "timeouts": timeouts,
-                   "queries": times},
+                   "queries": times, "result_rows": counts},
         "common_n": len(common),
         "spark_over_duckdb": ratio,
         "spark_only": sorted(set(spark_q) - set(times)),
