@@ -136,14 +136,20 @@ object GenData {
   private def write(df: DataFrame, path: String): Unit = {
     val tmp = path + "_tmpdir"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+    // Files.list/walk streams hold a directory handle until closed —
+    // Using closes them per table write instead of leaking 8+ per run.
+    val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) {
+      _.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+    }
     require(part.length == 1, s"expected 1 part file in $tmp")
     Files.move(Paths.get(part.head), Paths.get(path),
       StandardCopyOption.REPLACE_EXISTING)
     // drop the staging dir (only _SUCCESS and CRCs remain)
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    scala.util.Using.resource(Files.walk(Paths.get(tmp))) {
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
     println(s"[gendata] wrote $path")
   }
 

@@ -1225,15 +1225,20 @@ object ScaleProbe {
           .groupBy("channel").agg(count(lit(1)).as("n"))
       }),
       // wave-77 sorted matching scan (user fold + ordered neighbors).
+      // Round 7's sf1 run proved this probe's old body — a single
+      // global Window.orderBy — passes the 8× ceiling at probe sizes
+      // while blowing 24× at sf1 (the ceiling is too forgiving for a
+      // one-task funnel that still fits in memory at 8×). The probe now
+      // runs the production shape, OrderedScan.neighborScan, and the
+      // plan-audit spec asserts the partitioned form separately.
       "matching_scan" -> (k => {
         val u = scaled("events", k, "user_id")
           .groupBy("user_id")
           .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("x"))
           .withColumn("t", expr("user_id % 2"))
-        val cx = when(col("t") === 0, col("x"))
-        val bw = Window.orderBy("x", "t", "user_id")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        u.withColumn("bx", last(cx, ignoreNulls = true).over(bw))
+        graft.operators.OrderedScan
+          .neighborScan(u, Seq("x", "t", "user_id"),
+            when(col("t") === 0, col("x")), "bx", "fx")
           .filter(col("t") === 1)
           .agg(sum(expr("abs(x - coalesce(bx, 0))")).as("g"))
       }),

@@ -24,13 +24,19 @@ object Wave100Ops {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // ---- q388: nearest as-of (backward + forward compose) --------------
+    // ---- q388: nearest as-of (single native entry point) ----------------
     // Clicks are first deduped to one per (user, ts) — max event_id,
-    // making both directions' tie policies identical — then each
-    // purchase as-of-joins backward and forward through the native
-    // exec; the winner is the smaller absolute gap, ties to backward
-    // (the "at-or-before wins" convention). Purchases with no click on
-    // either side keep a NULL match ('none').
+    // making both directions' tie policies identical — then ONE
+    // `AsOf.join(..., direction = "nearest")` call: the entry point
+    // composes the two native passes sequentially (forward over the
+    // backward output), so there is no rejoin of two result sets — the
+    // round-7 ad-hoc compose paid an extra shuffle join on
+    // (user, purchase). Winner = smaller absolute gap, ties to backward
+    // (the "at-or-before wins" convention); purchases with no click on
+    // either side keep a NULL match ('none'). The gap and the matched
+    // side are read back from the matched click_ts — sign-equivalent to
+    // the per-direction bookkeeping (a tie's winner has click_ts <= ts,
+    // so `dir` stays 'backward' exactly when the tie rule fired).
     "q388_asof_nearest" -> ((s, d) => {
       val ev = table(s, d, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -38,38 +44,21 @@ object Wave100Ops {
           col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
-      val cb = clicks.select(col("user_id"), col("click_id").as("cb_id"),
-        col("ts").as("cb_ts"))
-      val cf = clicks.select(col("user_id"), col("click_id").as("cf_id"),
-        col("ts").as("cf_ts"))
-      val back = graft.plans.AsOf.join(purchases, cb, Seq("user_id"),
-        leftTime = "ts", rightTime = "cb_ts", tieBreak = Seq("cb_id"))
-        .select(col("user_id"), col("purchase_id"), col("ts"),
-          col("cb_id"), col("cb_ts"))
-      val fwd = graft.plans.AsOf.join(purchases, cf, Seq("user_id"),
-          leftTime = "ts", rightTime = "cf_ts", tieBreak = Seq("cf_id"),
-          direction = "forward")
-        .select(col("user_id"), col("purchase_id"),
-          col("cf_id"), col("cf_ts"))
-      back.join(fwd, Seq("user_id", "purchase_id"))
-        .withColumn("gb", col("ts") - col("cb_ts"))
-        .withColumn("gf", col("cf_ts") - col("ts"))
-        .select(col("user_id"), col("purchase_id"),
-          when(col("gb").isNotNull &&
-            (col("gf").isNull || col("gb") <= col("gf")), col("cb_id"))
-            .otherwise(col("cf_id")).as("click_id"),
-          when(col("gb").isNotNull &&
-            (col("gf").isNull || col("gb") <= col("gf")), col("gb"))
-            .otherwise(col("gf")).as("gap_ns"),
-          when(col("gb").isNotNull &&
-            (col("gf").isNull || col("gb") <= col("gf")), lit("backward"))
-            .otherwise(when(col("gf").isNotNull, lit("forward"))
-              .otherwise(lit("none"))).as("dir"))
+        .select(col("user_id"), col("click_id"), col("ts").as("click_ts"))
+      graft.plans.AsOf.join(purchases, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts",
+          tieBreak = Seq("click_id"), direction = "nearest")
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          when(col("click_ts").isNotNull,
+            abs(col("ts") - col("click_ts"))).as("gap_ns"),
+          when(col("click_ts").isNull, lit("none"))
+            .when(col("click_ts") <= col("ts"), lit("backward"))
+            .otherwise(lit("forward")).as("dir"))
     }),
 
     // ---- q390: 2-hop reachability, exact vs KMV sketch ------------------
-    // Seed cohort: the 100 lowest even customer nodes (fixed at any
-    // corpus scale). Exact side: two bounded frontier joins + distinct
+    // Seed cohort: the even customer nodes below 400 (custkeys 1..199,
+    // ~200 seeds — fixed at any corpus scale). Exact side: two bounded frontier joins + distinct
     // (the q187 shape, unrolled). Sketch side: per seed the 4 smallest
     // 60-bit hashes of reached ids — mergeable O(k) state per node, the
     // HyperBall posture — with est = (k-1)·2^60 div h4 and its error

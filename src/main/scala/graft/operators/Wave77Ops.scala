@@ -63,29 +63,27 @@ object Wave77Ops {
     // Sort treated and control users together by pre-spend; each
     // treated row reads its backward (last control at x ≤ x_t,
     // equal-x controls sort before treated; max-uid tie) and forward
-    // (first control at x > x_t; min-uid tie) neighbors from ONE
-    // ordered window with IGNORE NULLS — the sorted-scan form of
-    // nearest-neighbor matching, O(n log n) not O(n²). The closer
-    // side wins (tie → backward). ATT = mean treated-minus-matched
-    // post spend; the mean match gap rides along as the match-quality
-    // readout. The global ordered window swaps for the q93 two-phase
-    // rank partitioning at real user counts (documented).
+    // (first control at x > x_t; min-uid tie) neighbors — the
+    // sorted-scan form of nearest-neighbor matching, O(n log n) not
+    // O(n²). The closer side wins (tie → backward). ATT = mean
+    // treated-minus-matched post spend; the mean match gap rides along
+    // as the match-quality readout. The neighbor reads run through
+    // [[OrderedScan.neighborScan]] — the two-phase range-partitioned
+    // scan (round-7's sf1 run measured the previous single global
+    // Window.orderBy at 24.4× for 10× data: the whole user frame
+    // funnelled through one task); now every stage is n/P-bounded and
+    // the hash is unchanged.
     "q342_matching_att" -> ((s, d) => {
       val u = userFrame(s, d)
         .select(col("user_id").as("uid"), col("x"), col("y"), col("t"))
-      val cx = when(col("t") === 0, col("x"))
-      val cu = when(col("t") === 0, col("uid"))
-      val cy = when(col("t") === 0, col("y"))
-      val ord = Window.orderBy("x", "t", "uid")
-      val bw = ord.rowsBetween(Window.unboundedPreceding, 0)
-      val fw = ord.rowsBetween(1, Window.unboundedFollowing)
-      val matched = u
-        .withColumn("bx", last(cx, ignoreNulls = true).over(bw))
-        .withColumn("bu", last(cu, ignoreNulls = true).over(bw))
-        .withColumn("by", last(cy, ignoreNulls = true).over(bw))
-        .withColumn("fx", first(cx, ignoreNulls = true).over(fw))
-        .withColumn("fu", first(cu, ignoreNulls = true).over(fw))
-        .withColumn("fy", first(cy, ignoreNulls = true).over(fw))
+      val control = when(col("t") === 0,
+        struct(col("x").as("cx"), col("y").as("cy")))
+      val matched = OrderedScan
+        .neighborScan(u, Seq("x", "t", "uid"), control, "_b", "_f")
+        .withColumn("bx", col("_b.cx"))
+        .withColumn("by", col("_b.cy"))
+        .withColumn("fx", col("_f.cx"))
+        .withColumn("fy", col("_f.cy"))
         .filter(col("t") === 1)
         .withColumn("useB", expr(
           """CASE WHEN bx IS NULL THEN false

@@ -229,11 +229,16 @@ object Wave99Ops {
         .crossJoin(broadcast(truth))
         .select(col("scheme"),
           col("cand").as("n_comparisons"),
-          expr("(all_pairs - cand) * 1000000 div all_pairs")
-            .as("reduction_ppm"),
+          // ppm numerators go through DECIMAL(38,0): all_pairs ~ n²/2
+          // overflows BIGINT×1e6 past ~4.3M entities (Spark would wrap
+          // silently where DuckDB errors); the 128-bit intermediate is
+          // exact and `div` still returns BIGINT in both engines.
+          expr("""(CAST(all_pairs - cand AS DECIMAL(38,0)) * 1000000)
+                  div all_pairs""").as("reduction_ppm"),
           col("true_pairs"),
           col("covered").as("true_covered"),
-          expr("covered * 1000000 div greatest(1, true_pairs)")
+          expr("""(CAST(covered AS DECIMAL(38,0)) * 1000000)
+                  div greatest(1, true_pairs)""")
             .as("completeness_ppm"))
         .orderBy("scheme")
     }))
@@ -383,11 +388,12 @@ object Wave99Ops {
              (SELECT covered FROM cov1) + (SELECT covered FROM cov2)
                - (SELECT covered FROM covb))
          SELECT scheme, CAST(cand AS BIGINT) AS n_comparisons,
-           CAST((all_pairs - cand) * 1000000 // all_pairs AS BIGINT)
-             AS reduction_ppm,
+           CAST(CAST(all_pairs - cand AS HUGEINT) * 1000000
+             // all_pairs AS BIGINT) AS reduction_ppm,
            CAST(true_pairs AS BIGINT) AS true_pairs,
            CAST(covered AS BIGINT) AS true_covered,
-           CAST(covered * 1000000 // greatest(1, true_pairs) AS BIGINT)
+           CAST(CAST(covered AS HUGEINT) * 1000000
+             // greatest(1, true_pairs) AS BIGINT)
              AS completeness_ppm
          FROM schemes CROSS JOIN allp CROSS JOIN truth
          ORDER BY scheme""")

@@ -26,6 +26,14 @@ import org.apache.spark.sql.graft.PlanApi
   *    Tie-break semantics are direction-independent: among right rows
   *    with the SAME matched time, the last one in ascending `tieBreak`
   *    order wins.
+  *  - `"nearest"`: the right row whose `rightTime` is CLOSEST to
+  *    `leftTime` on either side; equal gaps tie to the backward match.
+  *    Composed SEQUENTIALLY from the two native passes — the forward
+  *    pass runs on the backward pass's output, so no rejoin of the two
+  *    result sets is ever needed (each left row carries both candidate
+  *    matches, the closer one wins per row). Four key exchanges + two
+  *    O(1)-state sorted merges total, the same per-pass cost as
+  *    backward/forward. Numeric time required (gap arithmetic).
   */
 object AsOf {
 
@@ -47,8 +55,33 @@ object AsOf {
         right.withColumn(rNeg, -col(rightTime)),
         keys, lNeg, rNeg, tieBreak)
         .drop(lNeg, rNeg)
+    case "nearest" =>
+      import org.apache.spark.sql.functions.{col, when}
+      // Right value columns (everything but the keys) are joined twice
+      // under per-direction prefixes, then restored under their original
+      // names from whichever side won the per-row gap comparison. The
+      // matched `rightTime` comes back too, so callers read the gap as
+      // `abs(leftTime - rightTime)` and the side as its sign.
+      val valueCols = right.columns.filterNot(keys.contains).toSeq
+      val bP = "__asof_b_"
+      val fP = "__asof_f_"
+      def prefixed(p: String) = valueCols.foldLeft(right) {
+        (df, c) => df.withColumnRenamed(c, p + c)
+      }
+      val back = joinBackward(left, prefixed(bP), keys,
+        leftTime, bP + rightTime, tieBreak.map(bP + _))
+      val both = join(back, prefixed(fP), keys,
+        leftTime, fP + rightTime, tieBreak.map(fP + _), "forward")
+      val gb = col(leftTime) - col(bP + rightTime)
+      val gf = col(fP + rightTime) - col(leftTime)
+      val useB = col(bP + rightTime).isNotNull &&
+        (col(fP + rightTime).isNull || gb <= gf)
+      valueCols.foldLeft(both) { (df, c) =>
+        df.withColumn(c, when(useB, col(bP + c)).otherwise(col(fP + c)))
+      }.drop(valueCols.flatMap(c => Seq(bP + c, fP + c)): _*)
     case other => throw new IllegalArgumentException(
-      s"as-of direction must be 'backward' or 'forward', got '$other'")
+      s"as-of direction must be 'backward', 'forward' or 'nearest', " +
+        s"got '$other'")
   }
 
   private def joinBackward(

@@ -453,6 +453,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q342: neighbor windows partition on _pid, never one global task") {
+    // Round 7's sf1 run measured the old global Window.orderBy at 24.4×
+    // for 10× data — the whole user frame through ONE task. The fixed
+    // plan (OrderedScan.neighborScan) must keep every window partitioned
+    // by the range-partition id: no windowspecdefinition without _pid,
+    // and the frame reaches the windows via a range exchange.
+    val plan = executedPlanString("q342_matching_att")
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"expected Window operators\n$plan")
+    assert(winLines.forall(_.contains("_pid")),
+      s"found a window not partitioned by _pid:\n" +
+        winLines.filterNot(_.contains("_pid")).mkString("\n"))
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange feeding the neighbor scan\n$plan")
+  }
+
   test("registerViews: full corpus + native functions reachable via spark.sql") {
     graft.Tables.registerViews(spark, sf)
     val r = spark.sql(

@@ -63,6 +63,45 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq(9L), "the LAST row in tie-break order must win")
   }
 
+  test("nearest: closer side wins, equal gaps tie to backward, one-sided " +
+    "matches fall through, no-match rows keep nulls") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 14L), (1L, 26L), (2L, 5L), (3L, 7L))
+      .toDF("k", "t")
+    val r = Seq(
+      (1L, 8L, 100L),   // 10 -> gap 2 backward vs 12's gap 2 forward: tie
+      (1L, 12L, 101L),  // 14 -> gap 2 backward... vs 12? 12 is backward of 14
+      (1L, 25L, 102L),
+      (2L, 9L, 200L),   // only forward of the probe at 5
+      (4L, 1L, 400L))
+      .toDF("k", "rt", "rid")
+    val out = AsOf.join(l, r, Seq("k"), "t", "rt", Seq("rid"),
+        direction = "nearest")
+      .select("k", "t", "rid", "rt")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).sorted.toSeq
+    assert(out == Seq(
+      (1L, 10L, 100L),  // |10-8| == |12-10| -> backward wins the tie
+      (1L, 14L, 101L),  // 12 (gap 2) beats 25 (gap 11)
+      (1L, 26L, 102L),  // 25 (gap 1) is the nearest
+      (2L, 5L, 200L),   // forward-only match still matches
+      (3L, 7L, -1L)))   // key absent on the right -> null
+  }
+
+  test("nearest: two native passes composed sequentially — no rejoin " +
+    "SortMergeJoin in the plan") {
+    val (l, r) = edges
+    val df = AsOf.join(l, r, Seq("k"), "t", "rt", Seq("rid"),
+      direction = "nearest")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("AsOfJoin".r.findAllIn(plan).length >= 2,
+      s"expected two native as-of passes\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"nearest must not rejoin its two passes\n$plan")
+  }
+
   test("fuzz: random frames with nulls, duplicate keys/times and tie-break " +
     "collisions match an independent per-row reference") {
     import spark.implicits._

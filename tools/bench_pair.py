@@ -6,7 +6,16 @@ per-query maps — so every headline ratio is reproducible from a single
 committed file instead of two runs stitched together by prose
 (round 6's 189.9s-vs-200.5s ambiguity).
 
-Usage: python3 tools/bench_pair.py [sfdir] [out_json]
+The DuckDB side is delegated to tools/duck_bench_guarded.py so there is
+exactly ONE timing protocol in the repo: both engines get a warm-up then
+min-of-2 timed reps, and DuckDB times `SELECT count(*) FROM (<sql>)` —
+the fair mirror of the Spark side's `df.count()`, under which Catalyst
+prunes the final projection and result-only sorts (round-7's ADVICE
+flagged the earlier fetchall-1-rep DuckDB protocol as biased in Spark's
+favor). Each statement runs in its own subprocess with a kill budget, so
+a hang or crash loses one statement, not the artifact.
+
+Usage: python3 tools/bench_pair.py [sfdir] [out_json] [budget_sec=300]
   sfdir    default /root/testdata/sf0.1
   out_json default target/bench_pair.json
 
@@ -14,10 +23,9 @@ Steps (each logged):
   1. sbt "runMain graft.Bench"        -> target/bench_detail.json
      (also stages the q46/q47/q74 pipeline parquet for this sf dir)
   2. sbt "runMain graft.DumpOracle target/oracle_sql.json <sfdir>"
-  3. DuckDB: every oracle statement, warm-up + timed rep (same protocol
-     as the Spark side's min-of-2-after-warmup, one rep since DuckDB
-     has no JIT warm-up beyond the buffer cache the first rep fills)
-  4. Write {tree_sha, sf, spark{...}, duckdb{...}, ratio}
+  3. python3 tools/duck_bench_guarded.py <sfdir> oracle detail out
+     -> the single pair artifact {tree_sha, sf, spark{...}, duckdb{...},
+        ratio}
 
 Both engines run the identical statement list: Bench times every
 SparkEntry.queries entry; the oracle file carries one statement per
@@ -29,9 +37,7 @@ import sys, os, json, time, subprocess
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "target/bench_pair.json")
-
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+BUDGET = sys.argv[3] if len(sys.argv) > 3 else "300"
 
 
 def log(msg):
@@ -50,82 +56,37 @@ def run_sbt(main_and_args):
 
 
 def main():
-    tree_sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
-                              capture_output=True, text=True).stdout.strip()
-    dirty = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
-                           capture_output=True, text=True).stdout.strip() != ""
-
     # --- 1. Spark side -------------------------------------------------
-    env_note = f"SPARK_GRAFT_SF_DIR={SF}"
-    log(f"Spark bench ({env_note}) ...")
+    log(f"Spark bench (SPARK_GRAFT_SF_DIR={SF}) ...")
     os.environ["SPARK_GRAFT_SF_DIR"] = SF
     t0 = time.time()
     run_sbt("graft.Bench")
     spark_wall = round(time.time() - t0, 1)
-    detail = json.load(open(os.path.join(REPO, "target/bench_detail.json")))
+    detail_path = os.path.join(REPO, "target/bench_detail.json")
+    detail = json.load(open(detail_path))
     spark_q = detail["detail"]
-    spark_total = round(sum(spark_q.values()), 3)
-    log(f"Spark: {spark_total}s over {len(spark_q)} queries "
-        f"(wall {spark_wall}s incl. warmups/JVM)")
+    log(f"Spark: {round(sum(spark_q.values()), 3)}s over {len(spark_q)} "
+        f"queries (wall {spark_wall}s incl. warmups/JVM)")
 
     # --- 2. Oracle statements (staged roots now exist for this sf) -----
     oracle_path = os.path.join(REPO, "target/oracle_sql.json")
     run_sbt(f"graft.DumpOracle {oracle_path} {SF}")
-    oracle = json.load(open(oracle_path))
-    names = sorted(n for n in oracle if not n.endswith(".parquet"))
 
-    # --- 3. DuckDB side -------------------------------------------------
-    import duckdb
-    log(f"DuckDB {duckdb.__version__} oracle, {len(names)} statements ...")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    duck_q, failed = {}, []
-    t0 = time.time()
-    for name in names:
-        sql = oracle[name]
-        try:
-            con.execute(sql).fetchall()          # warm-up
-            s = time.perf_counter()
-            con.execute(sql).fetchall()
-            duck_q[name] = round(time.perf_counter() - s, 3)
-        except Exception:
-            failed.append(name)
-    duck_wall = round(time.time() - t0, 1)
-    duck_total = round(sum(duck_q.values()), 3)
-    log(f"DuckDB: {duck_total}s over {len(duck_q)} statements, "
-        f"{len(failed)} failed (wall {duck_wall}s incl. warmups)")
-
-    # --- 4. One artifact -------------------------------------------------
-    common = sorted(set(spark_q) & set(duck_q))
-    ratio = (round(sum(spark_q[n] for n in common)
-                   / max(1e-9, sum(duck_q[n] for n in common)), 3)
-             if common else None)
-    out = {
-        "metric": "bench_pair",
-        "tree_sha": tree_sha,
-        "tree_dirty": dirty,
-        "sf": SF,
-        "protocol": "back-to-back same machine/tree; per-query warm-up "
-                    "then timed rep(s); Spark=min of 2 warm reps, "
-                    "DuckDB=1 warm rep",
-        "spark": {"total_sec": spark_total, "n": len(spark_q),
-                  "queries": spark_q},
-        "duckdb": {"total_sec": duck_total, "n": len(duck_q),
-                   "failed": failed, "queries": duck_q},
-        "common_n": len(common),
-        "spark_over_duckdb": ratio,
-        "spark_only": sorted(set(spark_q) - set(duck_q)),
-        "duckdb_only": sorted(set(duck_q) - set(spark_q)),
-    }
-    with open(OUT, "w") as f:
-        json.dump(out, f, indent=1)
+    # --- 3. DuckDB side + artifact (single shared protocol) ------------
+    guarded = os.path.join(REPO, "tools/duck_bench_guarded.py")
+    log(f"DuckDB guarded bench (budget {BUDGET}s/statement) ...")
+    r = subprocess.run([sys.executable, guarded, SF, oracle_path,
+                        detail_path, OUT, BUDGET], cwd=REPO)
+    if r.returncode != 0:
+        raise SystemExit("duck_bench_guarded failed")
+    out = json.load(open(OUT))
     log(f"wrote {OUT}")
-    print(json.dumps({k: out[k] for k in
-                      ("metric", "tree_sha", "sf", "common_n",
-                       "spark_over_duckdb")}
-                     | {"spark_total": spark_total,
-                        "duckdb_total": duck_total}))
+    print(json.dumps({
+        "metric": out["metric"], "tree_sha": out["tree_sha"],
+        "sf": out["sf"], "common_n": out["common_n"],
+        "spark_over_duckdb": out["spark_over_duckdb"],
+        "spark_total": out["spark"]["total_sec"],
+        "duckdb_total": out["duckdb"]["total_sec"]}))
 
 
 if __name__ == "__main__":

@@ -60,8 +60,13 @@ def main():
                 sys.stderr.write(f"[duck-guard] {name} FAILED: "
                                  f"{r.stderr[-300:]}\n")
         except subprocess.TimeoutExpired:
+            # NOT added to `times`: a killed statement's elapsed time is
+            # a lower bound, not a measurement — mixing it into the
+            # common-set ratio (as the first sf1 run did) presents a
+            # truncated number alongside fully-measured Spark times, and
+            # scale_ratio.py consumers can't tell the difference. The
+            # name is reported in `timeouts` and excluded from totals.
             timeouts.append(name)
-            times[name] = BUDGET       # charged at the budget
         finally:
             os.unlink(sqlfile)
         if (i + 1) % 50 == 0:
@@ -77,16 +82,22 @@ def main():
              if common else None)
     tree_sha = subprocess.run(["git", "rev-parse", "HEAD"],
                               capture_output=True, text=True).stdout.strip()
+    dirty = subprocess.run(["git", "status", "--porcelain"],
+                           capture_output=True,
+                           text=True).stdout.strip() != ""
     out = {
         "metric": "bench_pair",
         "tree_sha": tree_sha,
+        "tree_dirty": dirty,
         "sf": SF,
         "protocol": "Spark: min of 2 warm reps of df.count(); DuckDB: "
-                    "1 warm rep of SELECT count(*) FROM (<sql>) — the "
-                    "count-wrap mirrors Spark's count() projection "
-                    f"pruning; per-statement subprocess with a "
-                    f"{BUDGET:.0f}s kill budget, timeouts charged at "
-                    "budget; warm-up runs inside the child",
+                    "min of 2 warm reps of SELECT count(*) FROM (<sql>) "
+                    "— identical rep policy, and the count-wrap mirrors "
+                    "Spark's count() projection pruning; per-statement "
+                    f"subprocess with a {BUDGET:.0f}s kill budget, "
+                    "timed-out statements EXCLUDED from totals/ratio "
+                    "and listed in duckdb.timeouts; warm-up runs inside "
+                    "the child",
         "spark": {"total_sec": spark_total, "n": len(spark_q),
                   "queries": spark_q},
         "duckdb": {"total_sec": duck_total, "n": len(times),
