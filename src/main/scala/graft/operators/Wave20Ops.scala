@@ -105,31 +105,46 @@ object Wave20Ops {
     // sketch variant is validated against.
     "q222_joinable_columns" -> ((s, d) => {
       // ONE scan per table (its profiled columns stacked map-side into
-      // (col_name, v) pairs) + ONE global distinct shuffle — measured
+      // (cid, v) pairs) + ONE global distinct shuffle — measured
       // 2.9 → 2.3 s vs the original per-column-distinct formulation,
       // which planned 11 separate scan+distinct stages before the
       // union; at lakehouse column counts the stage-count saving is
       // the difference between O(columns) and O(tables) scheduling.
-      // Same output set: distinct over stacked pairs ≡ the union of
-      // per-column distincts.
+      // The heavy phase carries a small INT column id, not the
+      // "table.column" string — the label was ~20 bytes on every one of
+      // the fact-sized stacked rows and dominated the distinct
+      // exchange (measured 17.8 → 11.5 s at sf1); ids are assigned in
+      // sorted-name order so cid_a < cid_b ≡ col_a < col_b and names
+      // come back from an 11-row broadcast at the end. Same output
+      // set: distinct over stacked pairs ≡ union of per-column
+      // distincts.
+      import s.implicits._
+      val sortedNames = ProfiledCols.map { case (t, c) => s"$t.$c" }.sorted
+      val cid = sortedNames.zipWithIndex.toMap
       val vals = ProfiledCols.groupBy(_._1).toSeq.map { case (t, tc) =>
         table(s, d, t).select(explode(array(tc.map { case (_, c) =>
-          struct(lit(s"$t.$c").as("col_name"),
+          struct(lit(cid(s"$t.$c")).as("cid"),
             col(c).cast("long").as("v"))
-        }: _*)).as("p")).select(col("p.col_name"), col("p.v"))
+        }: _*)).as("p")).select(col("p.cid"), col("p.v"))
       }.reduce(_ unionByName _).distinct()
       // NOT persisted: ReuseExchange already shares the distinct's
       // shuffle across the 3 consumers; an explicit persist measured
       // SLOWER (2.3 → 2.8 s) — the cache write outweighs the reuse.
-      val sizes = vals.groupBy("col_name").agg(count(lit(1)).as("n"))
-      val a = vals.select(col("col_name").as("col_a"), col("v"))
-      val b = vals.select(col("col_name").as("col_b"), col("v"))
-      a.join(b, "v").filter(col("col_a") < col("col_b"))
-        .groupBy("col_a", "col_b").agg(count(lit(1)).as("n_inter"))
-        .join(broadcast(sizes.select(col("col_name").as("col_a"),
-          col("n").as("n_a"))), "col_a")
-        .join(broadcast(sizes.select(col("col_name").as("col_b"),
-          col("n").as("n_b"))), "col_b")
+      val sizes = vals.groupBy("cid").agg(count(lit(1)).as("n"))
+      val names = broadcast(sortedNames.zipWithIndex
+        .map { case (n, i) => (i, n) }.toDF("cid", "col_name"))
+      val a = vals.select(col("cid").as("cid_a"), col("v"))
+      val b = vals.select(col("cid").as("cid_b"), col("v"))
+      a.join(b, "v").filter(col("cid_a") < col("cid_b"))
+        .groupBy("cid_a", "cid_b").agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(sizes.select(col("cid").as("cid_a"),
+          col("n").as("n_a"))), "cid_a")
+        .join(broadcast(sizes.select(col("cid").as("cid_b"),
+          col("n").as("n_b"))), "cid_b")
+        .join(names.select(col("cid").as("cid_a"),
+          col("col_name").as("col_a")), "cid_a")
+        .join(names.select(col("cid").as("cid_b"),
+          col("col_name").as("col_b")), "cid_b")
         .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"),
           col("n_inter"),
           expr("n_inter * 1000000L div least(n_a, n_b)")

@@ -54,30 +54,40 @@ object Wave35Ops {
 
   val queries: Map[String, Q] = Map(
     // ---- q253: functional-dependency discovery -------------------------
-    // Stacked (lhs, rhs, x, y) pairs → groupBy (lhs, rhs, x) with a
-    // distinct-y count → per-dependency rollup. The first shuffle keys
-    // on (lhs, rhs, xv), so the 20 dependencies' group frames spread
-    // across ALL partitions — no dependency is a hot key. X→Y holds
-    // iff no lhs group sees >1 distinct rhs value; max_rhs_ndv says
-    // how badly a failing dependency fails (1 column would need
-    // max_rhs_ndv repair values per key to normalize).
+    // Stacked (fd, x, y) pairs → groupBy (fd, x) with a distinct-y
+    // count → per-dependency rollup. The first shuffle keys on
+    // (fd, xv), so the 20 dependencies' group frames spread across ALL
+    // partitions — no dependency is a hot key. The heavy phase carries
+    // a small INT dependency id, not the two column-name strings — the
+    // labels rode on every one of the 20 × |orders| stacked rows and
+    // dominated the exchange (measured 9.9 → 0.75 s at sf1, the q222
+    // lesson); names come back from a 20-row broadcast at the end.
+    // X→Y holds iff no lhs group sees >1 distinct rhs value;
+    // max_rhs_ndv says how badly a failing dependency fails (1 column
+    // would need max_rhs_ndv repair values per key to normalize).
     "q253_fd_discovery" -> ((s, d) => {
+      import s.implicits._
       val stacked = table(s, d, "orders")
-        .select(explode(array(FdPairs.map { case (x, y) =>
-          struct(lit(x).as("lhs"), lit(y).as("rhs"),
-            col(x).cast("string").as("xv"),
-            col(y).cast("string").as("yv"))
+        .select(explode(array(FdPairs.zipWithIndex.map {
+          case ((x, y), i) =>
+            struct(lit(i).as("fd"),
+              col(x).cast("string").as("xv"),
+              col(y).cast("string").as("yv"))
         }: _*)).as("p"))
-        .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"),
-          col("p.xv").as("xv"), col("p.yv").as("yv"))
-      stacked.groupBy("lhs", "rhs", "xv")
+        .select(col("p.fd").as("fd"), col("p.xv").as("xv"),
+          col("p.yv").as("yv"))
+      val names = broadcast(FdPairs.zipWithIndex
+        .map { case ((x, y), i) => (i, x, y) }.toDF("fd", "lhs", "rhs"))
+      stacked.groupBy("fd", "xv")
         .agg(countDistinct("yv").as("ndv_y"))
-        .groupBy("lhs", "rhs")
+        .groupBy("fd")
         .agg(count(lit(1)).as("n_groups"),
           sum(when(col("ndv_y") > 1, 1L).otherwise(0L)).as("n_violating"),
           max("ndv_y").as("max_rhs_ndv"))
-        .withColumn("holds",
-          when(col("n_violating") === 0, 1L).otherwise(0L))
+        .join(names, "fd")
+        .select(col("lhs"), col("rhs"), col("n_groups"),
+          col("n_violating"), col("max_rhs_ndv"),
+          when(col("n_violating") === 0, 1L).otherwise(0L).as("holds"))
     }),
 
     // ---- q254: candidate-key (uniqueness) discovery ---------------------

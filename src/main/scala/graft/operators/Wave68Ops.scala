@@ -18,30 +18,40 @@ object Wave68Ops {
 
   val queries: Map[String, Q] = Map(
     // ---- q324: association rules over order baskets --------------------
-    // Baskets = distinct (order, part); per-item basket counts; the
-    // within-basket self-join (p1 < p2) counts pair co-occurrence in
-    // ONE shuffle on the order key. Top-20 pairs by (count desc,
-    // p1, p2) via TakeOrdered, then the rule metrics in exact ppm:
-    // support, both confidence directions, and lift
-    // = n·pair·1e6 div (c1·c2). Item-count joins on the pair frame
-    // are 20-row lookups at serve time.
+    // Baskets are built in ONE shuffle — groupBy(order) with
+    // array_distinct folds the whole-corpus DISTINCT into the same
+    // exchange — then pair co-occurrence explodes each sorted basket's
+    // C(k,2) pairs as PACKED longs (a << 32 | b: order-preserving, so
+    // the (count desc, p1, p2) top-20 is (count desc, pk) on the packed
+    // key) straight into one grouped count + TakeOrdered. The previous
+    // basket self-join re-shuffled the 60M-row fact twice and paid
+    // struct-keyed aggregation on ~90M support-1 pairs — measured
+    // 15.4 -> 6.4 s at sf1. Rule metrics in exact ppm: support, both
+    // confidence directions, lift = n·pair·1e6 div (c1·c2); item-count
+    // joins on the pair frame are 20-row lookups at serve time.
     "q324_basket_association_rules" -> ((s, d) => {
-      // persisted: the basket frame feeds FOUR consumers (count, item
-      // counts, both pair-join sides) — without it each subtree
-      // re-runs the fact scan + distinct.
-      val items = table(s, d, "lineitem")
+      // persisted: the basket frame feeds three consumers (basket
+      // count, item counts, pair explosion) — without it each subtree
+      // re-runs the fact scan + basket build.
+      val baskets = table(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+        .groupBy("ok")
+        .agg(sort_array(array_distinct(collect_list(col("pk"))))
+          .as("items"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nB = items.select("ok").distinct()
-        .agg(count(lit(1)).as("n_baskets"))
-      val cnt = items.groupBy("pk").agg(count(lit(1)).as("c"))
-      val pairs = items.select(col("ok"), col("pk").as("p1"))
-        .join(items.select(col("ok"), col("pk").as("p2")), "ok")
-        .filter(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("pair_cnt"))
-        .orderBy(col("pair_cnt").desc, col("p1"), col("p2"))
+      val nB = baskets.agg(count(lit(1)).as("n_baskets"))
+      val cnt = baskets.select(explode(col("items")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c"))
+      val pairs = baskets.filter(size(col("items")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(items) - 2), i ->
+               transform(sequence(i + 1, size(items) - 1), j ->
+                 items[i] * 4294967296L + items[j])))""")).as("pp"))
+        .groupBy("pp").agg(count(lit(1)).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("pp"))
         .limit(20)
+        .select(expr("pp div 4294967296L").as("p1"),
+          expr("pp % 4294967296L").as("p2"), col("pair_cnt"))
       pairs
         .join(cnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
         .join(cnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
