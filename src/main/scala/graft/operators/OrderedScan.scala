@@ -37,41 +37,60 @@ object OrderedScan {
     */
   def neighborScan(df: DataFrame, orderCols: Seq[String], carrier: Column,
       bwOut: String, fwOut: String): DataFrame = {
+    // Internal working columns take collision-free names: withColumn on
+    // a name the caller already uses would silently REPLACE the caller's
+    // column (and the final drop would delete it) instead of failing.
+    def fresh(base: String): String = Iterator.iterate(base)(_ + "_")
+      .dropWhile(n => df.columns.contains(n) || n == bwOut || n == fwOut)
+      .next()
+    val (cN, pidN, lbN, lfN, cbN, cfN) = (fresh("_c"), fresh("_pid"),
+      fresh("_lb"), fresh("_lf"), fresh("_cb"), fresh("_cf"))
     val oc = orderCols.map(col)
     val ranged = df
-      .withColumn("_c", carrier)
+      .withColumn(cN, carrier)
       .repartitionByRange(oc: _*)
       .sortWithinPartitions(oc: _*)
-      .withColumn("_pid", spark_partition_id())
-    val w = Window.partitionBy("_pid").orderBy(oc: _*)
+      .withColumn(pidN, spark_partition_id())
+    val w = Window.partitionBy(pidN).orderBy(oc: _*)
     val bw = w.rowsBetween(Window.unboundedPreceding, 0)
     val fw = w.rowsBetween(1, Window.unboundedFollowing)
-    val local = ranged
-      .withColumn("_lb", last(col("_c"), ignoreNulls = true).over(bw))
-      .withColumn("_lf", first(col("_c"), ignoreNulls = true).over(fw))
+    val local0 = ranged
+      .withColumn(lbN, last(col(cN), ignoreNulls = true).over(bw))
+      .withColumn(lfN, first(col(cN), ignoreNulls = true).over(fw))
+    // Phase-2 correctness needs the summary subtree and the final join
+    // to observe ONE pid assignment. The range exchange appears in both
+    // subtrees; under the default exchange reuse (spark.sql.exchange
+    // .reuse; AQE's stage reuse likewise) it is planned and executed
+    // once, which pins the sampled range boundaries and hence every
+    // row's pid. A session that disables reuse would re-sample the
+    // boundaries per subtree and could assign pids divergently — pin
+    // the materialization explicitly with a localCheckpoint there.
+    val reuseOn = df.sparkSession.conf
+      .get("spark.sql.exchange.reuse", "true").toBoolean
+    val local = if (reuseOn) local0 else local0.localCheckpoint()
     // Per-partition extremes among carrier rows: order cols lead the
     // struct so lexicographic max/min = last/first in partition order.
-    val keyed = when(col("_c").isNotNull,
-      struct(oc :+ col("_c").as("_c"): _*))
-    val summary = local.groupBy("_pid")
+    val keyed = when(col(cN).isNotNull,
+      struct(oc :+ col(cN).as(cN): _*))
+    val summary = local.groupBy(pidN)
       .agg(max(keyed).as("_mx"), min(keyed).as("_mn"))
     // Carry-ins from a P² self-join (P = shuffle partition count): the
     // backward carry of partition i is the latest carrier of any
     // partition j < i; forward symmetric. Empty/carrier-free partitions
     // contribute nulls, which max/min ignore.
     val carryB = summary.as("s")
-      .join(summary.as("p"), col("p._pid") < col("s._pid"))
-      .groupBy(col("s._pid").as("_pid"))
-      .agg(max(col("p._mx")).as("_cb"))
+      .join(summary.as("p"), col(s"p.$pidN") < col(s"s.$pidN"))
+      .groupBy(col(s"s.$pidN").as(pidN))
+      .agg(max(col("p._mx")).as(cbN))
     val carryF = summary.as("s")
-      .join(summary.as("p"), col("p._pid") > col("s._pid"))
-      .groupBy(col("s._pid").as("_pid"))
-      .agg(min(col("p._mn")).as("_cf"))
+      .join(summary.as("p"), col(s"p.$pidN") > col(s"s.$pidN"))
+      .groupBy(col(s"s.$pidN").as(pidN))
+      .agg(min(col("p._mn")).as(cfN))
     local
-      .join(broadcast(carryB), Seq("_pid"), "left_outer")
-      .join(broadcast(carryF), Seq("_pid"), "left_outer")
-      .withColumn(bwOut, coalesce(col("_lb"), col("_cb._c")))
-      .withColumn(fwOut, coalesce(col("_lf"), col("_cf._c")))
-      .drop("_c", "_pid", "_lb", "_lf", "_cb", "_cf")
+      .join(broadcast(carryB), Seq(pidN), "left_outer")
+      .join(broadcast(carryF), Seq(pidN), "left_outer")
+      .withColumn(bwOut, coalesce(col(lbN), col(cbN).getField(cN)))
+      .withColumn(fwOut, coalesce(col(lfN), col(cfN).getField(cN)))
+      .drop(cN, pidN, lbN, lfN, cbN, cfN)
   }
 }

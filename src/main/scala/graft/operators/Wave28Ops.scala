@@ -50,11 +50,9 @@ object Wave28Ops {
       // per-row width is the whole cost — the packed key roughly
       // halves shuffle bytes and hashes/compares as a primitive.
       // Sorted baskets keep a < b, so the packing is order-preserving;
-      // part keys are dense longs far below 2^31 at any driver sf.
-      val pairs = baskets.select(explode(expr(
-        """flatten(transform(sequence(0, size(items) - 2), i ->
-             transform(sequence(i + 1, size(items) - 1), j ->
-               items[i] * 4294967296L + items[j])))""")).as("pk"))
+      // PackedPairs guards the <2^31 key-space assumption per basket.
+      val pairs = baskets
+        .select(explode(PackedPairs.packedUpperPairs("items")).as("pk"))
         .groupBy("pk")
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)

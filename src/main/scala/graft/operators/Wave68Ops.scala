@@ -43,10 +43,7 @@ object Wave68Ops {
       val cnt = baskets.select(explode(col("items")).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("c"))
       val pairs = baskets.filter(size(col("items")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(items) - 2), i ->
-               transform(sequence(i + 1, size(items) - 1), j ->
-                 items[i] * 4294967296L + items[j])))""")).as("pp"))
+        .select(explode(PackedPairs.packedUpperPairs("items")).as("pp"))
         .groupBy("pp").agg(count(lit(1)).as("pair_cnt"))
         .orderBy(col("pair_cnt").desc, col("pp"))
         .limit(20)

@@ -63,6 +63,16 @@ object AsOf {
       // matched `rightTime` comes back too, so callers read the gap as
       // `abs(leftTime - rightTime)` and the side as its sign.
       val valueCols = right.columns.filterNot(keys.contains).toSeq
+      // The restore step below writes each right value column back under
+      // its ORIGINAL name with withColumn — which would silently
+      // overwrite a left column of the same name (backward/forward
+      // surface such collisions as ambiguity errors; nearest must fail
+      // just as loudly). leftTime is a left column, so a right value
+      // column named like it is rejected here too.
+      val collide = valueCols.filter(left.columns.contains)
+      require(collide.isEmpty,
+        s"as-of nearest: right value column(s) ${collide.mkString(", ")} " +
+          "collide with left columns; rename the right side's before joining")
       val bP = "__asof_b_"
       val fP = "__asof_f_"
       def prefixed(p: String) = valueCols.foldLeft(right) {

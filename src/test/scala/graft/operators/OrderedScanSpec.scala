@@ -66,6 +66,41 @@ class OrderedScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("caller columns named like the internals survive untouched") {
+    // Every internal working name in use: withColumn on any of these
+    // used to silently replace (then drop) the caller's column.
+    val u = frame()
+      .withColumn("_c", col("y") + 1)
+      .withColumn("_pid", col("y") + 2)
+      .withColumn("_lb", col("y") + 3)
+      .withColumn("_lf", col("y") + 4)
+      .withColumn("_cb", col("y") + 5)
+      .withColumn("_cf", col("y") + 6)
+    val out = OrderedScan.neighborScan(u, Seq("x", "t", "uid"),
+      when(col("t") === 0, col("y")), "b", "f")
+    assert(Seq("_c", "_pid", "_lb", "_lf", "_cb", "_cf")
+      .forall(out.columns.contains))
+    assert(out.filter(col("_c") =!= col("y") + 1 ||
+      col("_cf") =!= col("y") + 6).isEmpty)
+    // and the scan itself still computes the right neighbors
+    val plain = OrderedScan.neighborScan(frame(), Seq("x", "t", "uid"),
+      when(col("t") === 0, col("y")), "b", "f").select("uid", "b", "f")
+    val got = out.select("uid", "b", "f")
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
+
+  test("exchange reuse disabled -> checkpoint fallback, same result") {
+    val carrier = when(col("t") === 0, col("y"))
+    val want = OrderedScan.neighborScan(frame(), Seq("x", "t", "uid"),
+      carrier, "b", "f").select("uid", "b", "f").collect().toSet
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val got = OrderedScan.neighborScan(frame(), Seq("x", "t", "uid"),
+        carrier, "b", "f").select("uid", "b", "f").collect().toSet
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
   test("no carriers at all -> all-null neighbors; all carriers -> dense") {
     val none = OrderedScan.neighborScan(frame(),
       Seq("x", "t", "uid"), when(col("t") === 99, col("y")), "b", "f")

@@ -88,6 +88,21 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 7L, -1L)))   // key absent on the right -> null
   }
 
+  test("nearest: right value column colliding with a left column is " +
+    "rejected, not silently overwritten") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 7L)).toDF("k", "t", "v")
+    val r = Seq((1L, 8L, 9L)).toDF("k", "rt", "v") // v collides
+    val e = intercept[IllegalArgumentException](
+      AsOf.join(l, r, Seq("k"), "t", "rt", direction = "nearest"))
+    assert(e.getMessage.contains("collide with left columns"))
+    // a right value column named like the LEFT TIME would clobber it too
+    val r2 = Seq((1L, 8L, 9L)).toDF("k", "rt", "t")
+    intercept[IllegalArgumentException](
+      AsOf.join(l.drop("v"), r2, Seq("k"), "t", "rt",
+        direction = "nearest"))
+  }
+
   test("nearest: two native passes composed sequentially — no rejoin " +
     "SortMergeJoin in the plan") {
     val (l, r) = edges

@@ -3,40 +3,70 @@
 against the DuckDB oracle and hash-compare per query.
 
 Usage: python3 tools/validate.py [sfdir] [outdir] [report_json]
+                                 [budget_sec] [rowcap]
 (Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first.)
+
 The optional third arg writes a driver-shaped per-query JSON report
 (the CORRECTNESS_r{N}.json format) for committing scale-gate evidence.
+
+With no budget (the sf0.01 default) every oracle runs in-process,
+exactly the driver's protocol. A `budget_sec` switches to SCALE MODE
+for sf1-class runs: each oracle statement executes in its own killable
+tools/duck_hash_one.py subprocess (a hang or memory blowup loses one
+statement, not the run — the first sf1 attempt hit 98 GB RSS inside a
+single fetchall), statements whose count(*) exceeds `rowcap` (default
+30M) are compared on row count only (materializing them would be the
+blowup all over again, on both engines), and oracle timeouts are
+REPORTED as a distinct category rather than failing the gate — an
+oracle that cannot run at sf1 is evidence about DuckDB, not about the
+Spark result, and each such query stays hash-green at sf0.01.
 """
-import sys, os, json, glob
+import sys, os, json, glob, subprocess, tempfile
+
 import duckdb
 import pandas as pd
-import hashlib
+import pyarrow.parquet as pq
+
+from hashnorm import norm, h
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 REPORT = sys.argv[3] if len(sys.argv) > 3 else None
+BUDGET = float(sys.argv[4]) if len(sys.argv) > 4 else None
+ROWCAP = int(sys.argv[5]) if len(sys.argv) > 5 else 30_000_000
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-    df = df.sort_values(by=list(df.columns), na_position="first")
-    return df.reset_index(drop=True)
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def h(df: pd.DataFrame) -> str:
-    # Stringify every cell with full-precision str(): stricter than any
-    # plausible driver hash — catches int64-vs-float64 dtype drift
-    # (DuckDB sum(int) -> HUGEINT -> float64 "2.0" vs Spark long "2")
-    # and last-ulp double differences that %.10g would round away.
-    s = df.astype(object).where(df.notna(), None).map(
-        lambda v: "\0" if v is None else str(v))
-    return hashlib.md5(s.to_csv(index=False).encode()).hexdigest()
+def spark_row_count(dirname):
+    """Row count from parquet footers — no data read, so a huge Spark
+    result can be count-compared without materializing it."""
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in glob.glob(f"{OUT}/{dirname}/*.parquet"))
+
+
+def oracle_guarded(sql):
+    """(kind, payload): kind in ok|timeout|error|capped."""
+    with tempfile.NamedTemporaryFile("w", suffix=".sql",
+                                     delete=False) as f:
+        f.write(sql)
+        sqlfile = f.name
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, "duck_hash_one.py"),
+             SF, sqlfile, str(ROWCAP)],
+            capture_output=True, text=True, timeout=BUDGET)
+        if r.returncode != 0:
+            return "error", r.stderr[-500:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        return ("capped" if out.get("capped") else "ok"), out
+    except subprocess.TimeoutExpired:
+        return "timeout", None
+    finally:
+        os.unlink(sqlfile)
 
 
 def main():
@@ -47,7 +77,7 @@ def main():
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(OUT)
                    if os.path.isdir(os.path.join(OUT, d)))
-    n_pass = n_fail = n_noora = 0
+    n_pass = n_fail = n_noora = n_tmo = 0
     report = {}
 
     def record(dirname, rows=False, schema=False, hsh=False,
@@ -76,12 +106,70 @@ def main():
             record(dirname, err="no result parquet")
             n_fail += 1
             continue
-        got = pd.concat([pd.read_parquet(f) for f in files])
         if name not in oracle:
-            print(f"ROWS {name}: rows={len(got)} (no oracle)")
-            record(dirname, spark_rows=len(got), err="no oracle")
+            got_n = spark_row_count(dirname)
+            print(f"ROWS {name}: rows={got_n} (no oracle)")
+            record(dirname, spark_rows=got_n, err="no oracle")
             n_noora += 1
             continue
+
+        if BUDGET is not None:
+            # ---- scale mode: killable child computes the oracle hash
+            kind, payload = oracle_guarded(oracle[name])
+            if kind == "timeout":
+                got_n = spark_row_count(dirname)
+                print(f"TMO  {name}: oracle exceeded {BUDGET:.0f}s "
+                      f"(spark_rows={got_n}; hash-green at sf0.01)")
+                record(dirname, spark_rows=got_n,
+                       err=f"oracle timeout >={BUDGET:.0f}s at this "
+                           "scale; rows-only evidence")
+                n_tmo += 1
+                continue
+            if kind == "error":
+                print(f"FAIL {name}: oracle error {payload[:200]}")
+                record(dirname, spark_rows=spark_row_count(dirname),
+                       err=f"oracle error: {payload}")
+                n_fail += 1
+                continue
+            got_n = spark_row_count(dirname)
+            if got_n != payload["rows"]:
+                print(f"FAIL {name}: rows spark={got_n} "
+                      f"oracle={payload['rows']}")
+                record(dirname, spark_rows=got_n,
+                       oracle_rows=payload["rows"])
+                n_fail += 1
+                continue
+            if kind == "capped":
+                print(f"ROWS {name}: {got_n} rows match (> rowcap "
+                      f"{ROWCAP}; too large to hash at this scale)")
+                record(dirname, rows=True, spark_rows=got_n,
+                       oracle_rows=payload["rows"],
+                       err=f"rows-only: result > rowcap {ROWCAP}")
+                n_noora += 1
+                continue
+            got = pd.concat([pd.read_parquet(f) for f in files])
+            g = norm(got)
+            if sorted(g.columns) != payload["cols"]:
+                print(f"FAIL {name}: cols spark={sorted(g.columns)} "
+                      f"oracle={payload['cols']}")
+                record(dirname, rows=True, spark_rows=got_n,
+                       oracle_rows=payload["rows"])
+                n_fail += 1
+                continue
+            if h(g) != payload["hash"]:
+                print(f"FAIL {name}: hash mismatch ({got_n} rows)")
+                record(dirname, rows=True, schema=True,
+                       spark_rows=got_n, oracle_rows=payload["rows"])
+                n_fail += 1
+                continue
+            print(f"PASS {name} ({got_n} rows)")
+            record(dirname, rows=True, schema=True, hsh=True,
+                   spark_rows=got_n, oracle_rows=payload["rows"])
+            n_pass += 1
+            continue
+
+        # ---- default in-process mode (the driver's sf0.01 protocol)
+        got = pd.concat([pd.read_parquet(f) for f in files])
         try:
             want = con.execute(oracle[name]).df()
         except Exception as e:
@@ -116,7 +204,8 @@ def main():
         record(dirname, rows=True, schema=True, hsh=True,
                spark_rows=len(g), oracle_rows=len(w))
         n_pass += 1
-    print(f"\n== {n_pass} pass, {n_fail} fail, {n_noora} rows-only ==")
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_noora} rows-only, "
+          f"{n_tmo} oracle-timeout ==")
     if REPORT:
         with open(REPORT, "w") as f:
             json.dump(report, f, indent=1)
