@@ -75,8 +75,14 @@ object Wave71Ops {
         .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cents"))
         .withColumn("part_share_ppm",
           expr("n_parts * 1000000 div sum(n_parts) OVER ()"))
+        // rev_cents×1e6 passes ~9.2e18 at sf1 (total revenue ≈ 6e13
+        // cents) — the ppm numerator goes through DECIMAL(38,0), the
+        // q387 recipe; DuckDB's sum(BIGINT) is already HUGEINT so the
+        // oracle needs nothing. Caught by the full-suite sf1 hash gate
+        // (ANSI long overflow; count()-only benches prune the column).
         .withColumn("rev_share_ppm",
-          expr("rev_cents * 1000000 div sum(rev_cents) OVER ()"))
+          expr("""(CAST(rev_cents AS DECIMAL(38,0)) * 1000000)
+                  div sum(rev_cents) OVER ()"""))
     }))
 
   val oracle: Map[String, String] = Map(

@@ -39,14 +39,21 @@ object Wave79Ops {
         .agg(min(when(col("cum") * 20 >= col("nn"), col("c"))).as("p5"),
           min(when(col("cum") * 20 >= col("nn") * 19, col("c")))
             .as("p95"))
+      // The micro-cent numerators pass sum(c)≈2.3e13 at sf1, so ×1e6
+      // overflows BIGINT — DECIMAL(38,0) intermediates (q387 recipe);
+      // DuckDB's sum(BIGINT) is already HUGEINT, oracle unchanged.
+      // Caught by the full-suite sf1 hash gate (ANSI long overflow;
+      // count()-only benches prune these columns).
       v.crossJoin(broadcast(fences))
         .agg(count(lit(1)).as("n_orders"),
           max("p5").as("p5_cents"), max("p95").as("p95_cents"),
-          expr("sum(c) * 1000000 div count(1)").as("mean_micro"),
-          expr("""sum(greatest(p5, least(p95, c))) * 1000000
-              div count(1)""").as("winsor_micro"),
-          expr("""sum(CASE WHEN c >= p5 AND c <= p95 THEN c ELSE 0 END)
-              * 1000000
+          expr("""(CAST(sum(c) AS DECIMAL(38,0)) * 1000000)
+              div count(1)""").as("mean_micro"),
+          expr("""(CAST(sum(greatest(p5, least(p95, c)))
+                AS DECIMAL(38,0)) * 1000000
+              div count(1))""").as("winsor_micro"),
+          expr("""(CAST(sum(CASE WHEN c >= p5 AND c <= p95 THEN c
+                ELSE 0 END) AS DECIMAL(38,0)) * 1000000)
               div sum(CASE WHEN c >= p5 AND c <= p95 THEN 1 ELSE 0 END)
             """).as("trim_micro"),
           sum(expr("CASE WHEN c < p5 OR c > p95 THEN 1 ELSE 0 END"))

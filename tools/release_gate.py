@@ -117,6 +117,8 @@ def main():
     summary["tree_sha"] = sha
     print(f"[release-gate] tree {sha} clean; artifacts -> {art}")
 
+    failed_steps = []
+
     def step(name, fn):
         if name in skip:
             summary["steps"][name] = "skipped"
@@ -124,8 +126,18 @@ def main():
             return
         print(f"[release-gate] == {name} ==", flush=True)
         t0 = time.time()
-        fn()
-        summary["steps"][name] = f"ok ({time.time() - t0:.0f}s)"
+        try:
+            fn()
+            summary["steps"][name] = f"ok ({time.time() - t0:.0f}s)"
+        except SystemExit as e:
+            # A red step must not ABORT the evidence run: later steps
+            # are independent evidence (a failing correctness row says
+            # nothing about the bench pair), and a 3h run that dies at
+            # minute 90 leaves the round with no artifacts at all. The
+            # failure is recorded, printed, and fails the gate at exit.
+            summary["steps"][name] = f"FAILED ({e}; {time.time() - t0:.0f}s)"
+            failed_steps.append(name)
+            print(f"[release-gate] ** {name} FAILED — continuing: {e}")
         json.dump(summary, open(os.path.join(art, "summary.json"), "w"),
                   indent=1)
 
@@ -223,9 +235,13 @@ def main():
                 "duck_timeouts": d["duckdb"]["timeouts"]}
     summary["finished"] = time.time()
     summary["wall_sec"] = round(summary["finished"] - summary["started"])
+    summary["gate"] = "FAIL" if failed_steps else "PASS"
     json.dump(summary, open(os.path.join(art, "summary.json"), "w"),
               indent=1)
     print("[release-gate] DONE\n" + json.dumps(summary, indent=1))
+    if failed_steps:
+        raise SystemExit(
+            f"[release-gate] FAILED steps: {', '.join(failed_steps)}")
 
 
 if __name__ == "__main__":

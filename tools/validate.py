@@ -22,6 +22,7 @@ oracle that cannot run at sf1 is evidence about DuckDB, not about the
 Spark result, and each such query stays hash-green at sf0.01.
 """
 import sys, os, json, glob, subprocess, tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 import duckdb
 import pandas as pd
@@ -77,6 +78,17 @@ def main():
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(OUT)
                    if os.path.isdir(os.path.join(OUT, d)))
+    # Scale mode: the guarded children are independent (correctness,
+    # not timing) — overlap them. 4 workers keeps peak RSS bounded
+    # (each child materializes at most one <=rowcap result) while the
+    # 300s known-timeout statements stop serializing the whole run.
+    futs = {}
+    if BUDGET is not None:
+        pool = ThreadPoolExecutor(max_workers=4)
+        for dirname in names:
+            nm = dirname.removesuffix(".parquet")
+            if nm in oracle and glob.glob(f"{OUT}/{dirname}/*.parquet"):
+                futs[nm] = pool.submit(oracle_guarded, oracle[nm])
     n_pass = n_fail = n_noora = n_tmo = 0
     report = {}
 
@@ -115,7 +127,7 @@ def main():
 
         if BUDGET is not None:
             # ---- scale mode: killable child computes the oracle hash
-            kind, payload = oracle_guarded(oracle[name])
+            kind, payload = futs[name].result()
             if kind == "timeout":
                 got_n = spark_row_count(dirname)
                 print(f"TMO  {name}: oracle exceeded {BUDGET:.0f}s "
