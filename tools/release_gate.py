@@ -100,9 +100,16 @@ def main():
     ap.add_argument("--baseline", default=None)
     ap.add_argument("--budget", default="300")
     ap.add_argument("--skip", default="")
+    ap.add_argument("--artdir", default=None,
+                    help="working artifact dir; default target/release/"
+                         "<round_tag> (gitignored) so the in-flight run "
+                         "never dirties `git status` — the bench-pair "
+                         "artifacts must record tree_dirty=false. Copy "
+                         "the finished directory to artifacts/<tag> for "
+                         "the commit.")
     a = ap.parse_args()
     skip = set(a.skip.split(",")) if a.skip else set()
-    art = os.path.join(REPO, "artifacts", a.round_tag)
+    art = a.artdir or os.path.join(REPO, "target", "release", a.round_tag)
     os.makedirs(art, exist_ok=True)
     summary = {"round": a.round_tag, "steps": {}, "started": time.time()}
 
