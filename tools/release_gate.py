@@ -111,7 +111,15 @@ def main():
     skip = set(a.skip.split(",")) if a.skip else set()
     art = a.artdir or os.path.join(REPO, "target", "release", a.round_tag)
     os.makedirs(art, exist_ok=True)
+    # Resume-friendly: a re-run with --skip merges into the existing
+    # summary instead of erasing the completed steps' record.
+    sumpath = os.path.join(art, "summary.json")
     summary = {"round": a.round_tag, "steps": {}, "started": time.time()}
+    if os.path.exists(sumpath):
+        prev = json.load(open(sumpath))
+        summary["steps"] = prev.get("steps", {})
+        summary["started"] = prev.get("started", summary["started"])
+        summary["resumed_at"] = time.time()
 
     # -- 0. clean tree ---------------------------------------------------
     dirty = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
@@ -208,10 +216,19 @@ def main():
             raise SystemExit("[release-gate] no committed sf1 baseline "
                              "pair found; pass --baseline")
         summary["scale_baseline"] = os.path.relpath(baseline, REPO)
-        sh([sys.executable, os.path.join(TOOLS, "scale_gate.py"),
-            baseline, os.path.join(art, "bench_pair_sf1.json"),
-            os.path.join(art, "bench_pair_sf0.1.json")],
-           log=os.path.join(art, "scale_gate.log"))
+        # The baseline round's own sf0.1 pair (same box as its sf1 run)
+        # so baseline ratios are intra-box — see scale_gate.py's header.
+        base_small = baseline.replace("_sf1", "_sf0.1")
+        gate_cmd = [sys.executable, os.path.join(TOOLS, "scale_gate.py"),
+                    baseline, os.path.join(art, "bench_pair_sf1.json"),
+                    os.path.join(art, "bench_pair_sf0.1.json")]
+        if os.path.exists(base_small) and base_small != baseline:
+            gate_cmd += ["10", "0.15",
+                         os.path.join(TOOLS, "adjudications.json"),
+                         base_small]
+            summary["scale_baseline_small"] = os.path.relpath(
+                base_small, REPO)
+        sh(gate_cmd, log=os.path.join(art, "scale_gate.log"))
         sh([sys.executable, os.path.join(TOOLS, "scale_ratio.py"),
             os.path.join(art, "bench_pair_sf0.1.json"),
             os.path.join(art, "bench_pair_sf1.json"), "10",
@@ -242,13 +259,17 @@ def main():
                 "duck_timeouts": d["duckdb"]["timeouts"]}
     summary["finished"] = time.time()
     summary["wall_sec"] = round(summary["finished"] - summary["started"])
-    summary["gate"] = "FAIL" if failed_steps else "PASS"
+    # A resumed run must not mask a still-red earlier step: the verdict
+    # is computed over ALL recorded steps, not just this invocation's.
+    still_red = [n for n, v in summary["steps"].items()
+                 if str(v).startswith("FAILED")]
+    summary["gate"] = "FAIL" if (failed_steps or still_red) else "PASS"
     json.dump(summary, open(os.path.join(art, "summary.json"), "w"),
               indent=1)
     print("[release-gate] DONE\n" + json.dumps(summary, indent=1))
-    if failed_steps:
-        raise SystemExit(
-            f"[release-gate] FAILED steps: {', '.join(failed_steps)}")
+    if failed_steps or still_red:
+        raise SystemExit("[release-gate] FAILED steps: "
+                         + ", ".join(sorted(set(failed_steps) | set(still_red))))
 
 
 if __name__ == "__main__":

@@ -25,10 +25,26 @@ Usage:
                               <new_pair_or_detail.json>
                               <small_side.json> [factor=10] [floor=0.15]
                               [adjudications=tools/adjudications.json]
+                              [baseline_small_side.json]
 
-The two sf1 inputs are compared against the SAME small-side (sf0.1)
-map so the gate measures sf1 drift, not sf0.1 noise. Sub-`floor`
-small-side rows are scheduling noise and never gate.
+Each round's ratio must be built from that round's OWN small side: a
+ratio is only box-free when numerator and denominator come from the
+same machine. Round 9 learned this the hard way — the r08 sf1 pair
+divided by the r09 sf0.1 pair (a ~1.2x slower box on both engines)
+manufactured a phantom 1.5x "worsening" on q160 while the own-round
+ratios actually IMPROVED 24.9x -> 19.7x. Pass the baseline round's
+committed sf0.1 pair as `baseline_small_side`; without it the gate
+falls back to the shared small side (correct only when both sf1 runs
+came from the same box). Sub-`floor` small-side rows are scheduling
+noise and never gate.
+
+A FRESH over-ceiling row is additionally checked against the oracle's
+own growth on the identical statement (computable when both pair
+artifacts carry DuckDB times): if Spark's sf0.1->sf1 growth is within
+1.5x of DuckDB's — the round-7 adjudication criterion, automated —
+the row is reported as ORACLE-CORROBORATED data-inherent growth
+instead of failing. If DuckDB timed out at sf1, its growth lower
+bound (budget / small time) is used the same way.
 """
 import sys, os, json
 
@@ -51,15 +67,31 @@ def result_rows(path):
         return {}
 
 
+def duck_side(path):
+    """(times, timeouts, budget_hint) from a pair artifact; empty when
+    the input is a bare bench_detail (no oracle side)."""
+    try:
+        d = json.load(open(path)).get("duckdb", {})
+        return d.get("queries", {}), set(d.get("timeouts", [])), 300.0
+    except Exception:
+        return {}, set(), 300.0
+
+
 def main():
     base_p, new_p, small_p = sys.argv[1], sys.argv[2], sys.argv[3]
     factor = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
     floor = float(sys.argv[5]) if len(sys.argv) > 5 else 0.15
     adj_p = sys.argv[6] if len(sys.argv) > 6 else os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "adjudications.json")
+    base_small_p = sys.argv[7] if len(sys.argv) > 7 else None
     ceiling = factor * 1.2
     small = qmap(small_p)
-    base = ratios(small, qmap(base_p), floor)
+    base_small = qmap(base_small_p) if base_small_p else small
+    if base_small_p:
+        print(f"[scale-gate] baseline ratios use the baseline round's "
+              f"own small side ({base_small_p}) — box factor cancels "
+              f"within each round")
+    base = ratios(base_small, qmap(base_p), floor)
     new = ratios(small, qmap(new_p), floor)
     adj = {}
     if os.path.exists(adj_p):
@@ -74,8 +106,31 @@ def main():
         return ""
 
     known = {n for n, r in base.items() if r > ceiling}
-    fresh = sorted(n for n, r in new.items()
-                   if r > ceiling and n not in known)
+
+    # Oracle growth on the identical statement, from the same two pair
+    # artifacts the Spark ratios came from (same box, same protocol).
+    dk_small, _, _ = duck_side(small_p)
+    dk_new, dk_tmo, budget = duck_side(new_p)
+
+    def duck_growth(n):
+        """(growth, is_lower_bound) or None when unmeasurable."""
+        if n not in dk_small or dk_small[n] <= 0:
+            return None
+        if n in dk_new:
+            return dk_new[n] / dk_small[n], False
+        if n in dk_tmo:
+            return budget / dk_small[n], True
+        return None
+
+    fresh_all = sorted(n for n, r in new.items()
+                       if r > ceiling and n not in known)
+    fresh, corroborated = [], []
+    for n in fresh_all:
+        g = duck_growth(n)
+        if g and new[n] <= 1.5 * g[0]:
+            corroborated.append((n, g))
+        else:
+            fresh.append(n)
     worse = sorted(n for n in known
                    if n in new and new[n] > ceiling
                    and new[n] >= 1.5 * base[n])
@@ -94,6 +149,15 @@ def main():
     if fixed:
         print(f"[scale-gate] ratcheted under ceiling (update baseline): "
               f"{', '.join(fixed)}")
+    for n, (g, lb) in corroborated:
+        why = adj.get(n)
+        print(f"[scale-gate] over-ceiling but ORACLE-CORROBORATED: {n} "
+              f"{new[n]:.1f}x vs DuckDB's own "
+              f"{'>=' if lb else ''}{g:.1f}x on the identical statement"
+              f"{outgrow(n)} — data-inherent growth, not a plan defect"
+              + (f"\n[scale-gate]   adjudicated: {why}" if why else
+                 "\n[scale-gate]   WARNING: add a committed adjudication "
+                 f"to {adj_p}"))
     if fresh:
         for n in fresh:
             print(f"[scale-gate] FAIL new over-ceiling row: {n} "
