@@ -136,7 +136,9 @@ def main():
 
     def step(name, fn):
         if name in skip:
-            summary["steps"][name] = "skipped"
+            # Preserve the previous run's record — a resume's --skip
+            # means "don't re-run", not "forget the result".
+            summary["steps"].setdefault(name, "skipped")
             print(f"[release-gate] == {name}: SKIPPED ==")
             return
         print(f"[release-gate] == {name} ==", flush=True)
