@@ -129,7 +129,12 @@ def main():
                          + dirty)
     sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                          capture_output=True, text=True).stdout.strip()
-    summary["tree_sha"] = sha
+    # The benched tree is the FIRST run's; a resume (tool fix + --skip)
+    # must not overwrite it — record resume SHAs separately.
+    if "tree_sha" in summary and summary["tree_sha"] != sha:
+        summary.setdefault("resume_shas", []).append(sha)
+    else:
+        summary["tree_sha"] = sha
     print(f"[release-gate] tree {sha} clean; artifacts -> {art}")
 
     failed_steps = []
