@@ -243,6 +243,13 @@ def main():
            log=os.path.join(art, "scale_ratio.log"))
     step("step6_scale_gate", gate)
 
+    # -- 6b. sf0.1 oracle-gap adjudication report ----------------------------
+    step("step6b_oracle_gap", lambda: sh(
+        [sys.executable, os.path.join(TOOLS, "oracle_gap_report.py"),
+         os.path.join(art, "bench_pair_sf0.1.json"),
+         os.path.join(art, "bench_pair_sf1.json")],
+        log=os.path.join(art, "oracle_gap.log")))
+
     # -- 7. leak scan ---------------------------------------------------------
     def leaks():
         n = leak_scan(os.path.join(art, "leakscan.json"))
