@@ -119,6 +119,11 @@ def main():
         prev = json.load(open(sumpath))
         summary["steps"] = prev.get("steps", {})
         summary["started"] = prev.get("started", summary["started"])
+        # Identity fields describe the FIRST (measuring) run.
+        for k in ("tree_sha", "resume_shas", "tree_note",
+                  "scale_baseline", "scale_baseline_small"):
+            if k in prev:
+                summary[k] = prev[k]
         summary["resumed_at"] = time.time()
 
     # -- 0. clean tree ---------------------------------------------------
