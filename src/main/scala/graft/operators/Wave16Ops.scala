@@ -35,19 +35,6 @@ object Wave16Ops {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** 6-hour time slab CEILING for the interval-overlap bucketing (ns) —
-    * the width sparse corpora use; dense corpora shrink toward
-    * [[MinSlabNs]] so pairs-per-slab stays bounded (see q204). */
-  private val SlabNs = 21600000000000L
-
-  /** Slab-width floor = the island extension granularity (30 min, ns):
-    * every island is at least this long, so per-island slab fan-out is
-    * bounded by ~len/floor + 1 even at maximum density. */
-  private val MinSlabNs = 1800000000000L
-
-  /** Target islands per slab for the density-derived width. */
-  private val SlabCap = 64L
-
   /** 7-day attribution window (ns). */
   private val AttrWindowNs = 604800000000000L
 
@@ -116,27 +103,24 @@ object Wave16Ops {
             .otherwise(0L)).as("n_clipped"))
     }),
 
-    // ---- q204: interval-overlap join (slab-bucketed) -------------------
+    // ---- q204: interval-overlap join (endpoint sweep) ------------------
     // Per-user activity islands (q185's gaps-and-islands), then pairs of
     // DIFFERENT users with overlapping islands, for a probe panel
-    // (u1 % 20 == 0). The scalable shape: every island explodes to its
-    // covering 6-hour slabs, candidates come from a slab EQUI-join, and
-    // each qualifying pair is counted exactly once by its RESPONSIBLE
-    // slab — the one containing greatest(a.start, b.start), which both
-    // intervals cover by the overlap condition. Work is
-    // O(|islands| · slabs/island + pairs-per-slab), never the quadratic
-    // all-pairs interval join the oracle runs; slab width trades
-    // explode fan-out against per-slab candidate density. The width is
-    // DERIVED from corpus density (round-7's sf1 run measured the fixed
-    // 6-hour slab at 38.8× for 10× data: 10× the users land in the same
-    // fixed time span, so pairs-per-slab grew quadratically): target
-    // ~SlabCap islands per slab, clamped to [30 min, 6 h] — the floor is
-    // the island extension granularity (every island is ≥ 30 min long,
-    // so fan-out stays ≤ ~len/30min + 1 and same-slab candidates are
-    // mostly true overlaps), the ceiling keeps sparse corpora at the old
-    // width. The width rides along as a broadcast 1-row column — the
-    // result is width-invariant (each pair is still counted exactly once
-    // by its responsible slab), so the oracle and hash are unchanged.
+    // (u1 % 20 == 0). Two prior shapes hit their floor here: round 7's
+    // fixed 6-hour slab equi-join grew 38.8× at 10× data (density per
+    // slab quadratic), and round 8's density-derived width still stood
+    // at 24.6× vs the oracle's 9.4× — the r09 diagnosis measured WHY:
+    // slab population is uniform (no skew to salt) and the derived
+    // width already minimized candidates at 131.6M for 5.6M output
+    // pairs (23× overkill, ~invariant across widths). The slab-join
+    // STRATEGY was the bottleneck, so q204 now runs
+    // [[IntervalSweep.overlapPairs]]: islands time-range-partitioned
+    // and swept in start order with boundary-crossing carries — every
+    // emission is a qualifying pair (O(n log A + output), A = peak
+    // concurrency), the same asymptotics as the single-node oracle's
+    // sort-based interval join. Result is partitioning-invariant; the
+    // oracle and hash are unchanged (IntervalSweepSpec pins sweep ==
+    // brute force across range widths).
     "q204_interval_overlap" -> ((s, d) => {
       val byTime = Window.partitionBy("user_id")
         .orderBy(col("t"), col("event_id"))
@@ -151,30 +135,7 @@ object Wave16Ops {
           .over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy("user_id", "island")
         .agg(min("t").as("s"), max("iv_end").as("e"))
-      val width = iv
-        .agg(min("s").as("lo"), max("e").as("hi"),
-          count(lit(1)).as("n_islands"))
-        .select(greatest(lit(MinSlabNs),
-          least(lit(SlabNs), expr(
-            s"(hi - lo) div greatest(n_islands div ${SlabCap}L, 1L) + 1")))
-          .as("w"))
-      val slabbed = iv.crossJoin(broadcast(width))
-        .select(col("user_id"), col("s"), col("e"), col("w"),
-          explode(sequence(expr("s div w"), expr("(e - 1) div w")))
-            .as("slab"))
-      val a = slabbed.filter(col("user_id") % 20 === 0)
-        .select(col("user_id").as("u1"), col("s").as("a_s"),
-          col("e").as("a_e"), col("w"), col("slab"))
-      val b = slabbed.select(col("user_id").as("u2"), col("s").as("b_s"),
-        col("e").as("b_e"), col("slab"))
-      a.join(b, Seq("slab"))
-        .filter(col("u1") < col("u2") &&
-          col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
-          expr("greatest(a_s, b_s) div w") === col("slab"))
-        .groupBy("u1", "u2")
-        .agg(count(lit(1)).as("n_overlaps"),
-          sum(least(col("a_e"), col("b_e")) -
-            greatest(col("a_s"), col("b_s"))).as("overlap_ns"))
+      IntervalSweep.overlapPairs(iv, probeMod = 20L)
     }),
 
     // ---- q205: linear multi-touch attribution --------------------------

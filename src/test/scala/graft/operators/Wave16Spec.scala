@@ -85,7 +85,7 @@ class Wave16Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- q204 -----------------------------------------------------------
 
-  test("q204 slab-bucketed overlap join equals the brute-force pair scan") {
+  test("q204 endpoint-sweep overlap join equals the brute-force pair scan") {
     // reference islands per user
     val ev = graft.Tables.table(spark, sf, "events")
       .select("user_id", "ts", "event_id").collect()
