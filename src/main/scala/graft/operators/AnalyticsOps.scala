@@ -173,17 +173,30 @@ object AnalyticsOps {
       val rare = sh.groupBy("sg").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 10)).select("sg")
       val postings = sh.join(rare, "sg")
-      val cand = postings.as("a")
+      // materialized: feeds the candidate-doc screen (twice, via the
+      // union) AND the final verify join — unpersisted, the bounded
+      // but not-free df^2 pair stage would run three times
+      val cand = materialized(postings.as("a")
         .join(postings.as("b"),
           col("a.sg") === col("b.sg") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
-        .select("a_id", "b_id")
+        .select("a_id", "b_id"))
       // sg is distinct per doc (array_distinct above), so the packed
       // array IS the shingle set and its size the exact set size.
-      val arrs = sh.groupBy("doc_id")
+      // Packed arrays are built ONLY for docs that appear in a
+      // candidate pair: the left-semi probe shuffles sh by doc_id —
+      // the exact partitioning the groupBy needs anyway, so the screen
+      // is free — and drops every non-candidate doc BEFORE the
+      // corpus-sized collect_list and the two array-moving verify
+      // joins (r09 measured 12.6x sf1 growth with whole-corpus arrs;
+      // candidates are df<=10-bounded, so this side is output-sized).
+      val candDocs = cand.select(col("a_id").as("doc_id"))
+        .union(cand.select(col("b_id").as("doc_id"))).distinct()
+      val arrs = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
         .agg(collect_list(col("sg")).as("arr"))
       cand
         .join(arrs.select(col("doc_id").as("a_id"),

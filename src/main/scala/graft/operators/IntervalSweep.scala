@@ -47,9 +47,19 @@ object IntervalSweep {
 
   def overlapPairs(islands: DataFrame, probeMod: Long,
       userCol: String = "user_id", startCol: String = "s",
-      endCol: String = "e", nRanges: Int = 256): DataFrame = {
+      endCol: String = "e", nRanges: Int = 0): DataFrame = {
     val spark = islands.sparkSession
     import spark.implicits._
+
+    // Range fan-out follows the cluster, not a constant: 8 ranges per
+    // core keeps each sweep task small enough for AQE-era scheduling
+    // while the boundary-crossing carry replication stays O(A * nRanges)
+    // (A = peak concurrency, independent of corpus length). At
+    // local[32] this reproduces the measured-good 256; on a
+    // 1000-executor cluster it scales to the machine instead of
+    // serializing 256-wide. Callers can still pin it for tests.
+    val ranges = if (nRanges > 0) nRanges
+      else math.max(8 * spark.sparkContext.defaultParallelism, 64)
 
     // Persisted: the bounds agg below and the main explode both consume
     // iv, and islands frames are typically window-built (q204's costs a
@@ -68,7 +78,7 @@ object IntervalSweep {
     // where the boundaries fall.
     val bounds = iv.agg(min("s").as("lo"), max("e").as("hi"))
       .select(col("lo"),
-        greatest(lit(1L), expr(s"(hi - lo) div $nRanges + 1")).as("wr"))
+        greatest(lit(1L), expr(s"(hi - lo) div $ranges + 1")).as("wr"))
 
     val exploded = iv.crossJoin(broadcast(bounds))
       .select(col("u"), col("s"), col("e"),

@@ -836,23 +836,31 @@ object TextOps {
     // ---- n-gram novelty: how much of each doc is corpus-unique --------
     // The memorization / boilerplate meter: the share of a document's
     // distinct 3-token shingle TYPES that occur in no other document.
-    // Inverted-index shape — distinct (doc, shingle) -> shingle doc-
-    // frequency -> join back -> per-doc ratio. The shingle set is
-    // persisted because it feeds both the frequency pass and the
-    // join-back; all joins are on the shingle key, so at 100 TB this
-    // is three key-partitioned shuffles over narrow rows, and the
-    // frequency side is bounded by the vocabulary of shingles.
+    // NO join-back: a df==1 shingle has exactly ONE owning doc, so the
+    // frequency pass carries min(doc_id) and the unique counts aggregate
+    // straight to doc grain — the corpus-sized shingle table is never
+    // joined against anything. r09 shipped the join-back form
+    // (sh JOIN freq ON shingle -> groupBy doc) and it DRIFTED at sf1
+    // (11.1x growth for 10x data vs the oracle's 6.5x): the join
+    // re-shuffled the fat table a second time and materialized a
+    // corpus-sized intermediate. This form is two aggregations over the
+    // persisted distinct shingle set plus one doc-grain join whose both
+    // sides are #docs rows — at 100 TB the only corpus-sized shuffles
+    // are the distinct and the two groupBys, all with map-side combine.
     "q110_ngram_novelty" -> ((s, d) => {
       val sh = shingled(s, d).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      sh.join(freq, "shingle")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-          floor(col("n_unique") * 1000.0 / col("n_shingles"))
-            .cast("long").as("novelty_pm"))
+      val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val uniq = sh.groupBy("shingle")
+        .agg(count(lit(1)).as("df"), min("doc_id").as("only_doc"))
+        .filter(col("df") === 1)
+        .groupBy(col("only_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_unique"))
+      perDoc.join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          floor(coalesce(col("n_unique"), lit(0L)) * 1000.0
+            / col("n_shingles")).cast("long").as("novelty_pm"))
     }),
 
     // ---- hashing-trick featurization (16-slot bag of words) ------------
@@ -1220,13 +1228,28 @@ object TextOps {
           expr("transform(ranked, r -> r.tok)").as("toks"),
           size(col("ranked")).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // prefix length p = n - ceil(t*n) + 1, in exact integers
+      // prefix length p = n - ceil(t*n) + 1, in exact integers; the
+      // token's 0-based position rides along for the positional filter
       val prefix = sorted.select(col("doc_id"), col("n"),
-        explode(expr(s"slice(toks, 1, n - (n * $t5 + 4) div 5 + 1)"))
-          .as("tok"))
+        posexplode(expr(s"slice(toks, 1, n - (n * $t5 + 4) div 5 + 1)")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      // candidate thinning BEFORE the distinct and the two full-array
+      // verify joins (r09 measured 19.7x sf1 growth with bare prefix
+      // matching — the candidate set was the by-construction-linear
+      // cost). Both filters are PPJoin's own (Xiao et al., WWW 2008):
+      //  - length: J >= t forces t*|A| <= |B| <= |A|/t;
+      //  - positional: tokens at/after the shared prefix position bound
+      //    the overlap by 1 + min(na-pa-1, nb-pb-1), and J >= t5/5
+      //    needs intersection >= ceil(t5*(na+nb)/(5+t5)) — integer-
+      //    exact as 9*ubound >= 4*(na+nb) for t = 4/5.
       val cand = prefix.as("a")
         .join(prefix.as("b"), Seq("tok"))
         .filter(col("a.doc_id") < col("b.doc_id"))
+        .filter(col("a.n") * t5 <= col("b.n") * 5 &&
+          col("b.n") * t5 <= col("a.n") * 5)
+        .filter((lit(1) + least(col("a.n") - col("a.p") - 1,
+          col("b.n") - col("b.p") - 1)) * (5 + t5)
+          >= (col("a.n") + col("b.n")) * t5)
         .select(col("a.doc_id").as("a_id"), col("a.n").as("na"),
           col("b.doc_id").as("b_id"), col("b.n").as("nb"))
         .distinct()

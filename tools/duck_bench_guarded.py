@@ -102,6 +102,7 @@ def main():
                   "queries": spark_q},
         "duckdb": {"total_sec": duck_total, "n": len(times),
                    "failed": failed, "timeouts": timeouts,
+                   "budget_sec": BUDGET,
                    "queries": times, "result_rows": counts},
         "common_n": len(common),
         "spark_over_duckdb": ratio,

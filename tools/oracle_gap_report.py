@@ -33,6 +33,9 @@ def main():
     s01, d01 = a["spark"]["queries"], a["duckdb"]["queries"]
     s1, d1 = b["spark"]["queries"], b["duckdb"]["queries"]
     tmo1 = set(b["duckdb"].get("timeouts", []))
+    # Kill budget used for timeout growth lower bounds: read from the
+    # artifact (recorded since r10); older pairs all used the 300s default.
+    budget1 = float(b["duckdb"].get("budget_sec", 300.0))
     adj = json.load(open(adj_p)).get("sf01_over_oracle", {})
     classes, rows = adj.get("classes", {}), adj.get("rows", {})
 
@@ -47,7 +50,7 @@ def main():
         if n in d1:
             dg, lb = d1[n] / d01[n], ""
         elif n in tmo1:
-            dg, lb = 300.0 / d01[n], ">="
+            dg, lb = budget1 / d01[n], ">="
         else:
             dg, lb = None, ""
         claim = ("OK" if sg is not None and dg is not None

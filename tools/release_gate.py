@@ -135,8 +135,22 @@ def main():
     sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                          capture_output=True, text=True).stdout.strip()
     # The benched tree is the FIRST run's; a resume (tool fix + --skip)
-    # must not overwrite it — record resume SHAs separately.
+    # must not overwrite it — record resume SHAs separately. A resume is
+    # only valid if src/ is byte-identical to the measuring tree: the
+    # merged summary would otherwise stamp PASS over stale measurements
+    # (r09 relied on a hand-written tree_note for this; now enforced).
     if "tree_sha" in summary and summary["tree_sha"] != sha:
+        src_diff = subprocess.run(
+            ["git", "diff", "--name-only", f"{summary['tree_sha']}..HEAD",
+             "--", "src/"], cwd=REPO, capture_output=True,
+            text=True).stdout.strip()
+        summary["resume_src_identical"] = not src_diff
+        if src_diff:
+            raise SystemExit(
+                "[release-gate] resume refused: src/ changed since the "
+                f"measuring tree {summary['tree_sha'][:12]}:\n{src_diff}\n"
+                "Re-run the full gate (or drop --skip for measurement "
+                "steps) so artifacts match HEAD.")
         summary.setdefault("resume_shas", []).append(sha)
     else:
         summary["tree_sha"] = sha

@@ -72,7 +72,10 @@ def duck_side(path):
     the input is a bare bench_detail (no oracle side)."""
     try:
         d = json.load(open(path)).get("duckdb", {})
-        return d.get("queries", {}), set(d.get("timeouts", [])), 300.0
+        # budget_sec is recorded by duck_bench_guarded since r10; older
+        # pair artifacts were all produced with the default 300s.
+        return (d.get("queries", {}), set(d.get("timeouts", [])),
+                float(d.get("budget_sec", 300.0)))
     except Exception:
         return {}, set(), 300.0
 
