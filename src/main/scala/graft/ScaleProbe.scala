@@ -83,6 +83,34 @@ object ScaleProbe {
           .groupBy("user_id")
           .agg(sum("new_session").as("n_sessions"))
       }),
+      // q204's shape: endpoint-sweep interval overlap (IntervalSweep).
+      // Copies are disjoint user populations in DISJOINT time epochs
+      // (ts shifted ~3.2 years per copy), so pairs never cross copies
+      // and the qualifying-pair output scales exactly k — a linear
+      // probe for the sweep's own machinery (explode, carries, range
+      // partitioning with auto fan-out, emission shuffle, pair fold).
+      "interval_sweep" -> (k => {
+        val ev = (0 until k).map { i =>
+          base("events").select(
+            (col("user_id") + lit(i * Offset)).as("user_id"),
+            (col("ts") + lit(i * 100000000000000000L)).as("ts"),
+            (col("event_id") + lit(i * Offset)).as("event_id"))
+        }.reduce(_ unionByName _)
+        val byTime = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val prevEnd = max("iv_end")
+          .over(byTime.rowsBetween(Window.unboundedPreceding, -1))
+        val iv = ev
+          .withColumn("iv_end", col("ts") + lit(1800000000000L))
+          .withColumn("ni",
+            when(prevEnd.isNull || col("ts") > prevEnd, 1L).otherwise(0L))
+          .withColumn("island", sum("ni")
+            .over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island")
+          .agg(min("ts").as("s"), max("iv_end").as("e"))
+        // Offset % 20 == 0 keeps per-copy probe-user density identical
+        graft.operators.IntervalSweep.overlapPairs(iv, probeMod = 20L)
+      }),
       // q143's shape: sliding exact-distinct via map-side day fan-out.
       // Work is 7 × |distinct (user, day)|, so the ratio must track k.
       "rolling_dau_fanout" -> (k => {
