@@ -63,54 +63,13 @@ object SweepProfile {
       exploded.count())
     println(s"[sweep-profile]   n_exploded = $nExp (carries = ${nExp - nIslands})")
 
+    // The sweep and fold bodies are IntervalSweep's own (shared
+    // methods), so the profiled stages are by construction the shipped
+    // algorithm — an inline copy here drifted once already.
     val probeMod = 20L
     import spark.implicits.newProductEncoder
-    def sweep() = exploded.mapPartitions { rows =>
-      var curRng = Long.MinValue
-      var active: java.util.TreeMap[java.lang.Long, Long] = null
-      var probeActive: java.util.TreeMap[java.lang.Long, Long] = null
-      var byEnd: java.util.PriorityQueue[(Long, Long)] = null
-      def reset(): Unit = {
-        active = new java.util.TreeMap[java.lang.Long, Long]()
-        probeActive = new java.util.TreeMap[java.lang.Long, Long]()
-        byEnd = new java.util.PriorityQueue[(Long, Long)](
-          11, (a: (Long, Long), b: (Long, Long)) =>
-            java.lang.Long.compare(a._1, b._1))
-      }
-      rows.flatMap { r =>
-        val matches = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        val rng = r.getLong(3)
-        if (rng != curRng) { curRng = rng; reset() }
-        val u = r.getLong(0); val s = r.getLong(1); val e = r.getLong(2)
-        while (!byEnd.isEmpty && byEnd.peek()._1 <= s) {
-          val (de, du) = byEnd.poll()
-          if (active.containsKey(du) && active.get(du) == de) {
-            active.remove(du)
-            probeActive.remove(du)
-          }
-        }
-        if (r.getBoolean(4)) {
-          if (u % probeMod == 0) {
-            val it = active.tailMap(u, false).entrySet().iterator()
-            while (it.hasNext) {
-              val en = it.next()
-              matches += ((u * 4294967296L + en.getKey.longValue(),
-                math.min(e, en.getValue) - s))
-            }
-          }
-          val it = probeActive.headMap(u, false).entrySet().iterator()
-          while (it.hasNext) {
-            val en = it.next()
-            matches += ((en.getKey.longValue() * 4294967296L + u,
-              math.min(e, en.getValue) - s))
-          }
-        }
-        active.put(u, e)
-        if (u % probeMod == 0) probeActive.put(u, e)
-        byEnd.add((e, u))
-        matches
-      }
-    }
+    def sweep() = exploded.mapPartitions(rows =>
+      graft.operators.IntervalSweep.sweepPartition(rows, probeMod))
     val nEmit = timed("3a sweep emissions (count only, no shuffle)")(
       sweep().count())
     println(s"[sweep-profile]   n_emissions = $nEmit")
@@ -118,17 +77,8 @@ object SweepProfile {
     val nPairs = timed("3b sweep + repartition + LongMap fold")(
       sweep().toDF("p", "ov")
         .repartition(col("p"))
-        .mapPartitions { it =>
-          val acc = new scala.collection.mutable.LongMap[Array[Long]]()
-          while (it.hasNext) {
-            val r = it.next()
-            val p = r.getLong(0); val ov = r.getLong(1)
-            val c = acc.getOrNull(p)
-            if (c == null) acc.update(p, Array(1L, ov))
-            else { c(0) += 1; c(1) += ov }
-          }
-          acc.iterator.map { case (p, c) => (p, c(0), c(1)) }
-        }.count())
+        .mapPartitions(graft.operators.IntervalSweep.foldPairPartition)
+        .count())
     println(s"[sweep-profile]   n_pairs = $nPairs")
     iv.unpersist(true); exploded.unpersist(true)
     GraftSession.releaseQueryCaches(spark)

@@ -45,6 +45,100 @@ import org.apache.spark.sql.functions._
   */
 object IntervalSweep {
 
+  /** Per-partition endpoint sweep over rows (u, s, e, rng, isNew)
+    * sorted by (rng, s, u), emitting one primitive (packed u1·2^32+u2,
+    * overlap_ns) tuple per qualifying island pair. Shared by
+    * `overlapPairs` and the SweepProfile stage profiler so the profiled
+    * algorithm is BY CONSTRUCTION the shipped one (the profiler used to
+    * carry an inline copy, which had already drifted by dropping the
+    * 2^31 packed-key guard). */
+  def sweepPartition(rows: Iterator[org.apache.spark.sql.Row],
+      probeMod: Long): Iterator[(Long, Long)] = {
+    // Per-range sweep state; a hash-partition may hold several
+    // ranges — state resets when rng changes (rows sorted by rng).
+    var curRng = Long.MinValue
+    var active: java.util.TreeMap[java.lang.Long, Long] = null
+    var probeActive: java.util.TreeMap[java.lang.Long, Long] = null
+    var byEnd: java.util.PriorityQueue[(Long, Long)] = null
+
+    def reset(): Unit = {
+      active = new java.util.TreeMap[java.lang.Long, Long]()
+      probeActive = new java.util.TreeMap[java.lang.Long, Long]()
+      byEnd = new java.util.PriorityQueue[(Long, Long)](
+        11, (a: (Long, Long), b: (Long, Long)) =>
+          java.lang.Long.compare(a._1, b._1))
+    }
+
+    rows.flatMap { r =>
+      // Matches are buffered eagerly per row (a lazily-drained subMap
+      // iterator would observe later rows' map mutations) and emitted
+      // as primitive (packed pair, overlap) tuples. NOT pre-aggregated
+      // in the partition: a pair's islands spread across the corpus's
+      // whole time span, so per-partition folding was measured to
+      // reduce almost nothing while paying an allocation storm
+      // (121 s vs 21 s at sf1).
+      val matches = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val rng = r.getLong(3)
+      if (rng != curRng) { curRng = rng; reset() }
+      val u = r.getLong(0); val s = r.getLong(1); val e = r.getLong(2)
+      // Evict islands that ended at or before this start (strict
+      // overlap needs a.e > x.s). Stale-entry guard: the user's
+      // LATER island may have replaced the map entry; only evict
+      // the matching one.
+      while (!byEnd.isEmpty && byEnd.peek()._1 <= s) {
+        val (de, du) = byEnd.poll()
+        if (active.containsKey(du) && active.get(du) == de) {
+          active.remove(du)
+          probeActive.remove(du)
+        }
+      }
+      if (r.getBoolean(4)) {
+        if (u >= 2147483648L) throw new IllegalArgumentException(
+          s"IntervalSweep: user id $u >= 2^31 would corrupt packed "
+            + "pair keys")
+        // New island: every active island overlaps it. Fold only
+        // qualifying pairs — (x as u1) against active users > u
+        // when x is a probe user, plus active PROBE users < u as u1.
+        if (u % probeMod == 0) {
+          val it = active.tailMap(u, false).entrySet().iterator()
+          while (it.hasNext) {
+            val en = it.next()
+            matches += ((u * 4294967296L + en.getKey.longValue(),
+              math.min(e, en.getValue) - s))
+          }
+        }
+        val it = probeActive.headMap(u, false).entrySet().iterator()
+        while (it.hasNext) {
+          val en = it.next()
+          matches += ((en.getKey.longValue() * 4294967296L + u,
+            math.min(e, en.getValue) - s))
+        }
+      } // carry: joins the active set only
+      // Insert after matching (an island never pairs with itself).
+      active.put(u, e)
+      if (u % probeMod == 0) probeActive.put(u, e)
+      byEnd.add((e, u))
+      matches
+    }
+  }
+
+  /** Per-reduce-partition primitive fold of (packed pair, overlap)
+    * emissions into (packed pair, n_overlaps, overlap_ns) — the
+    * LongMap keeps keys unboxed and each cell two longs. Shared with
+    * SweepProfile for the same no-drift reason as `sweepPartition`. */
+  def foldPairPartition(it: Iterator[org.apache.spark.sql.Row])
+      : Iterator[(Long, Long, Long)] = {
+    val acc = new scala.collection.mutable.LongMap[Array[Long]]()
+    while (it.hasNext) {
+      val r = it.next()
+      val p = r.getLong(0); val ov = r.getLong(1)
+      val c = acc.getOrNull(p)
+      if (c == null) acc.update(p, Array(1L, ov))
+      else { c(0) += 1; c(1) += ov }
+    }
+    acc.iterator.map { case (p, c) => (p, c(0), c(1)) }
+  }
+
   def overlapPairs(islands: DataFrame, probeMod: Long,
       userCol: String = "user_id", startCol: String = "s",
       endCol: String = "e", nRanges: Int = 0): DataFrame = {
@@ -96,74 +190,7 @@ object IntervalSweep {
     // PackedPairs recipe with the same 2^31 guard (user ids are dense
     // and tiny; a key-space change must error, not corrupt pairs).
     import spark.implicits.newProductEncoder
-    val out = exploded.mapPartitions { rows =>
-      // Per-range sweep state; a hash-partition may hold several
-      // ranges — state resets when rng changes (rows sorted by rng).
-      var curRng = Long.MinValue
-      var active: java.util.TreeMap[java.lang.Long, Long] = null
-      var probeActive: java.util.TreeMap[java.lang.Long, Long] = null
-      var byEnd: java.util.PriorityQueue[(Long, Long)] = null
-
-      def reset(): Unit = {
-        active = new java.util.TreeMap[java.lang.Long, Long]()
-        probeActive = new java.util.TreeMap[java.lang.Long, Long]()
-        byEnd = new java.util.PriorityQueue[(Long, Long)](
-          11, (a: (Long, Long), b: (Long, Long)) =>
-            java.lang.Long.compare(a._1, b._1))
-      }
-
-      rows.flatMap { r =>
-        // Matches are buffered eagerly per row (a lazily-drained subMap
-        // iterator would observe later rows' map mutations) and emitted
-        // as primitive (packed pair, overlap) tuples. NOT pre-aggregated
-        // in the partition: a pair's islands spread across the corpus's
-        // whole time span, so per-partition folding was measured to
-        // reduce almost nothing while paying an allocation storm
-        // (121 s vs 21 s at sf1).
-        val matches = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        val rng = r.getLong(3)
-        if (rng != curRng) { curRng = rng; reset() }
-        val u = r.getLong(0); val s = r.getLong(1); val e = r.getLong(2)
-        // Evict islands that ended at or before this start (strict
-        // overlap needs a.e > x.s). Stale-entry guard: the user's
-        // LATER island may have replaced the map entry; only evict
-        // the matching one.
-        while (!byEnd.isEmpty && byEnd.peek()._1 <= s) {
-          val (de, du) = byEnd.poll()
-          if (active.containsKey(du) && active.get(du) == de) {
-            active.remove(du)
-            probeActive.remove(du)
-          }
-        }
-        if (r.getBoolean(4)) {
-          if (u >= 2147483648L) throw new IllegalArgumentException(
-            s"IntervalSweep: user id $u >= 2^31 would corrupt packed "
-              + "pair keys")
-          // New island: every active island overlaps it. Fold only
-          // qualifying pairs — (x as u1) against active users > u
-          // when x is a probe user, plus active PROBE users < u as u1.
-          if (u % probeMod == 0) {
-            val it = active.tailMap(u, false).entrySet().iterator()
-            while (it.hasNext) {
-              val en = it.next()
-              matches += ((u * 4294967296L + en.getKey.longValue(),
-                math.min(e, en.getValue) - s))
-            }
-          }
-          val it = probeActive.headMap(u, false).entrySet().iterator()
-          while (it.hasNext) {
-            val en = it.next()
-            matches += ((en.getKey.longValue() * 4294967296L + u,
-              math.min(e, en.getValue) - s))
-          }
-        } // carry: joins the active set only
-        // Insert after matching (an island never pairs with itself).
-        active.put(u, e)
-        if (u % probeMod == 0) probeActive.put(u, e)
-        byEnd.add((e, u))
-        matches
-      }
-    }
+    val out = exploded.mapPartitions(rows => sweepPartition(rows, probeMod))
 
     // Final aggregation as an explicit shuffle + per-partition primitive
     // fold, NOT groupBy: a pair's islands spread across the whole time
@@ -174,17 +201,7 @@ object IntervalSweep {
     // primitive LongMap (unboxed keys, two-long cells).
     out.toDF("p", "ov")
       .repartition(col("p"))
-      .mapPartitions { it =>
-        val acc = new scala.collection.mutable.LongMap[Array[Long]]()
-        while (it.hasNext) {
-          val r = it.next()
-          val p = r.getLong(0); val ov = r.getLong(1)
-          val c = acc.getOrNull(p)
-          if (c == null) acc.update(p, Array(1L, ov))
-          else { c(0) += 1; c(1) += ov }
-        }
-        acc.iterator.map { case (p, c) => (p, c(0), c(1)) }
-      }
+      .mapPartitions(foldPairPartition)
       .toDF("p", "n_overlaps", "overlap_ns")
       .select(expr("p div 4294967296").as("u1"),
         expr("p % 4294967296").as("u2"),

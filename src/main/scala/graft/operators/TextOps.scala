@@ -1344,24 +1344,28 @@ object TextOps {
     * broadcast) — no single-partition window at any step. */
   def suffixArray(docs: DataFrame): DataFrame = {
       val maxLen = docs.agg(max(length(col("text")))).head().getInt(0)
-      // Bounded-key seeding: initial rank compares the first k0 = 8
+      // Bounded-key seeding: initial rank compares the first k0 = 32
       // characters of each suffix as a fixed-width key built MAP-SIDE
       // (constant bytes per row regardless of doc length — materializing
       // whole suffixes would be O(len^2) bytes per doc, which is exactly
-      // why suffix arrays exist). Doubling then starts at k = 8 instead
-      // of 1, cutting the round count by 3 while the loop still resolves
-      // arbitrarily deep ties for long/repetitive documents.
-      val k0 = 8L
+      // why suffix arrays exist). Doubling then starts at k = 32 instead
+      // of 1: five fewer rounds than k0 = 1, trading a wider seed sort
+      // key (32 bytes/row, which scales with data and parallelizes) for
+      // rounds (each of which pays a fixed scheduling floor — the r10
+      // suite measured this family as the worst fixed-floor ratio). The
+      // loop still resolves arbitrarily deep ties for long/repetitive
+      // documents.
+      val k0 = 32L
       val chars = docs.select(col("doc_id"), col("text"),
           posexplode(split(col("text"), "")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          expr(s"substring(text, pos + 1, $k0)").as("key8"))
+          expr(s"substring(text, pos + 1, $k0)").as("seed_key"))
       // Each round references `cur` three times (self-join + rank-back),
       // so without lineage truncation the logical plan grows ~4^rounds —
       // eager localCheckpoint caps it at one round's depth per iteration
       // (a cluster job would use reliable checkpoint() the same way).
       val n = chars.count() // suffix count, bounds every dense rank
-      var cur = denseRankBy(chars, Seq("key8"), "r")
+      var cur = denseRankBy(chars, Seq("seed_key"), "r")
         .select(col("doc_id"), col("pos"), col("r"))
         .localCheckpoint(true)
       var k = k0
@@ -1387,15 +1391,20 @@ object TextOps {
       // the loop to max doc length for nothing.
       def nRanks(): Long = cur.select("r").distinct().count()
       var prevRanks = nRanks()
-      var done = false
+      var done = prevRanks == n // seed may already be a total order
+      // Per-doc positions are DENSE (posexplode emits every 0..len-1),
+      // so "the rank k positions ahead in the same document" is exactly
+      // lead(r, k) over (doc_id, pos-asc) — one window exchange on
+      // doc_id instead of the former self-join's two exchanges, and
+      // consecutive rounds between dense compactions reuse the doc_id
+      // partitioning outright (a map-side pack preserves it). Default 0
+      // = past the end, which sorts below every real rank (>= 1) —
+      // "abc" < "abcd". Per-doc window state is bounded by maxLen, not
+      // corpus size, so the window is skew-safe at any corpus scale.
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
       while (k < maxLen && !done) {
-        // rank k ahead within the same document; 0 = past the end, which
-        // sorts below every real rank (>= 1) — "abc" < "abcd"
-        val ahead = cur.select(col("doc_id"),
-          (col("pos") - k).as("pos"), col("r").as("r2"))
-        val paired = cur.join(ahead, Seq("doc_id", "pos"), "left")
-          .select(col("doc_id"), col("pos"), col("r"),
-            coalesce(col("r2"), lit(0L)).as("r2"))
+        val paired = cur.withColumn("r2",
+          lead(col("r"), k.toInt, 0L).over(byDoc))
         if (packLevel < maxPacks) {
           cur = paired.select(col("doc_id"), col("pos"),
             (col("r") * base + col("r2")).as("r"))
@@ -1408,7 +1417,11 @@ object TextOps {
           packLevel = 0
           base = nB
           val nr = nRanks()
-          done = nr == prevRanks
+          // Uniqueness is also terminal (nr == n: the order is total
+          // and no later round can change it) — catching it directly
+          // saves the extra pack+dense cycle the stops-growing test
+          // would need to observe the fixed point.
+          done = nr == prevRanks || nr == n
           prevRanks = nr
         }
         k *= 2

@@ -57,17 +57,63 @@ object StreamingOps {
     * so size state partitions to the stream (8 here), exactly the
     * sizing decision a production deployment makes per expected key
     * cardinality. Restored after the drain so batch queries keep the
-    * session setting. */
-  def runToTable(df: DataFrame, mode: String): DataFrame = {
+    * session setting.
+    *
+    * Checkpoint placement: an AvailableNow drain's checkpoint has no
+    * durability value — the query runs to completion and the result is
+    * read from the sink, so the offset/commit/state files are pure
+    * run-to-completion scaffolding. They go on tmpfs when the machine
+    * has one (/dev/shm; /tmp here is disk-backed) and are deleted
+    * after the drain. Measured honestly: at this corpus's state sizes
+    * the drain floor is micro-batch planning/scheduling CPU and the
+    * placement is a wash — it pays where state commits carry real
+    * bytes. A CONTINUOUS deployment must pass its own durable
+    * checkpointLocation — this helper is the drain harness, not the
+    * deploy path.
+    *
+    * No-data micro-batches: off by default — a drain over a static
+    * directory emits every result row in the data batches for all
+    * complete/update-mode sinks and append-mode maps/joins, so the
+    * extra closing batch only re-runs the state commit machinery for
+    * zero rows. Watermark-DRIVEN emission (outer-join nulls, append-
+    * mode windowed aggs) genuinely needs the closing batch to observe
+    * the final watermark: those callers pass noDataBatch = true
+    * (streamLeftOuter is the one such query here). */
+  def runToTable(df: DataFrame, mode: String,
+      noDataBatch: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_${seq.incrementAndGet()}"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNd = spark.conf.getOption(ndKey)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(ndKey, noDataBatch.toString)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckBase =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) "/dev/shm/graft-ck"
+      else sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-ck"
+    val ck = s"$ckBase/$name-${java.util.UUID.randomUUID()}"
     try {
       val q = df.writeStream.outputMode(mode).format("memory")
+        .option("checkpointLocation", ck)
         .queryName(name).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNd match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None => spark.conf.unset(ndKey)
+      }
+      try {
+        val root = java.nio.file.Paths.get(ck)
+        if (java.nio.file.Files.exists(root)) {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      } catch { case _: java.io.IOException => () }
+    }
     spark.table(name)
   }
 
@@ -190,7 +236,10 @@ object StreamingOps {
         col("purchase_time") <= col("click_time") + expr("INTERVAL 1 HOUR"),
       "left_outer")
       .select(clicks("user_id"), col("click_id"), col("purchase_id"))
-    runToTable(joined, "append")
+    // noDataBatch: outer-null emission is watermark-driven — the
+    // closing no-data batch is what advances the watermark past
+    // click_time + 1h and flushes the unmatched clicks.
+    runToTable(joined, "append", noDataBatch = true)
   }
 
   /** Native event-time session windows (30-min gap) — the declarative

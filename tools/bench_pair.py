@@ -80,6 +80,34 @@ def main():
     if r.returncode != 0:
         raise SystemExit("duck_bench_guarded failed")
     out = json.load(open(OUT))
+
+    # --- 4. isolation probes (adjudicated queries only) -----------------
+    # A query whose in-suite small-sf time is deflated by suite-warm
+    # caches (q204's r10 story: 1.40s in-suite vs 2.05s isolated at
+    # sf0.1 -> a phantom 13.6x growth vs the real 9.2x) gets a FRESH-JVM
+    # graft.TimeOne measurement recorded IN the pair artifact, so
+    # scale_gate can adjudicate the in-suite/isolation discrepancy from
+    # committed numbers instead of prose. The probe list is committed in
+    # tools/adjudications.json ("isolation_probes").
+    adj_path = os.path.join(REPO, "tools/adjudications.json")
+    probes = []
+    if os.path.exists(adj_path):
+        probes = json.load(open(adj_path)).get("isolation_probes", [])
+    probes = [p for p in probes if p in out["spark"]["queries"]]
+    if probes:
+        log(f"isolation probes (fresh JVM): {', '.join(probes)}")
+        txt = run_sbt(f"graft.TimeOne {','.join(probes)} {SF}")
+        iso = {}
+        for line in txt.splitlines():
+            if "[time-one]" in line:
+                try:
+                    name, sec = line.split("[time-one]")[1].split(":")
+                    iso[name.strip()] = float(sec.strip().rstrip(" s"))
+                except ValueError:
+                    pass
+        out["spark"]["isolation"] = iso
+        json.dump(out, open(OUT, "w"), indent=1)
+
     log(f"wrote {OUT}")
     print(json.dumps({
         "metric": out["metric"], "tree_sha": out["tree_sha"],

@@ -136,14 +136,17 @@ def main():
                          capture_output=True, text=True).stdout.strip()
     # The benched tree is the FIRST run's; a resume (tool fix + --skip)
     # must not overwrite it — record resume SHAs separately. A resume is
-    # only valid if src/ is byte-identical to the measuring tree: the
-    # merged summary would otherwise stamp PASS over stale measurements
-    # (r09 relied on a hand-written tree_note for this; now enforced).
+    # only valid if every measurement-affecting path is byte-identical
+    # to the measuring tree: the merged summary would otherwise stamp
+    # PASS over stale measurements (r09 relied on a hand-written
+    # tree_note for this; now enforced). build.sbt/project/ are in the
+    # pathspec because JVM config is measurement-affecting (r10 bumped
+    # the default driver heap 8g->16g for perf).
     if "tree_sha" in summary and summary["tree_sha"] != sha:
         src_diff = subprocess.run(
             ["git", "diff", "--name-only", f"{summary['tree_sha']}..HEAD",
-             "--", "src/"], cwd=REPO, capture_output=True,
-            text=True).stdout.strip()
+             "--", "src/", "build.sbt", "project/"], cwd=REPO,
+            capture_output=True, text=True).stdout.strip()
         summary["resume_src_identical"] = not src_diff
         if src_diff:
             raise SystemExit(

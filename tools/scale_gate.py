@@ -67,6 +67,26 @@ def result_rows(path):
         return {}
 
 
+def iso_map(path):
+    """Fresh-JVM TimeOne isolation times recorded by bench_pair.py for
+    adjudicated probe queries (tools/adjudications.json
+    "isolation_probes"); empty for artifacts predating r11."""
+    try:
+        return json.load(open(path)).get("spark", {}).get(
+            "isolation", {}) or {}
+    except Exception:
+        return {}
+
+
+def box_probes(path):
+    try:
+        d = json.load(open(path))
+        return {eng: d.get(eng, {}).get("box_probe")
+                for eng in ("spark", "duckdb")}
+    except Exception:
+        return {}
+
+
 def duck_side(path):
     """(times, timeouts, budget_hint) from a pair artifact; empty when
     the input is a bare bench_detail (no oracle side)."""
@@ -96,6 +116,42 @@ def main():
               f"within each round")
     base = ratios(base_small, qmap(base_p), floor)
     new = ratios(small, qmap(new_p), floor)
+
+    # Isolation override: when BOTH this round's pair artifacts carry a
+    # fresh-JVM TimeOne measurement for a query (bench_pair.py probes
+    # the committed adjudications "isolation_probes" list), the ceiling
+    # check uses the isolation pair — the in-suite small-side number is
+    # deflated by suite-warm caches for exactly the probed queries
+    # (q204 r10: in-suite 13.6x vs isolated 9.2x), and adjudicating
+    # that discrepancy belongs to the gate, not prose. Both numbers are
+    # printed; the committed artifacts carry both.
+    iso_small, iso_big = iso_map(small_p), iso_map(new_p)
+    for n in sorted(set(iso_small) & set(iso_big) & set(new)):
+        if iso_small[n] >= floor:
+            iso_ratio = iso_big[n] / max(iso_small[n], 1e-9)
+            print(f"[scale-gate] isolation override: {n} in-suite "
+                  f"{new[n]:.1f}x -> isolated {iso_ratio:.1f}x "
+                  f"(fresh-JVM TimeOne pair {iso_small[n]:.2f}s -> "
+                  f"{iso_big[n]:.2f}s, recorded in both artifacts)")
+            new[n] = iso_ratio
+
+    # Box calibration (informational): measured per-engine machine
+    # factors vs the baseline artifacts, when both rounds carry probes.
+    bp_new, bp_base = box_probes(new_p), box_probes(base_p)
+    for eng in ("spark", "duckdb"):
+        pn, pb = bp_new.get(eng), (bp_base or {}).get(eng)
+        if pn:
+            if pb:
+                f_cpu = pn["cpu_sec"] / max(pb["cpu_sec"], 1e-9)
+                f_sh = pn["shuffle_sec"] / max(pb["shuffle_sec"], 1e-9)
+                print(f"[scale-gate] box factor vs baseline ({eng}): "
+                      f"cpu {f_cpu:.2f}x, shuffle {f_sh:.2f}x "
+                      f"(>1 = this box slower)")
+            else:
+                print(f"[scale-gate] box probe ({eng}): "
+                      f"cpu {pn['cpu_sec']:.2f}s, shuffle "
+                      f"{pn['shuffle_sec']:.2f}s (baseline has no "
+                      "probe; factors start next round)")
     adj = {}
     if os.path.exists(adj_p):
         adj = json.load(open(adj_p)).get("sf1_over_ceiling", {})
