@@ -74,6 +74,10 @@ def main():
         finally:
             os.unlink(sqlfile)
         out["statements"][name] = rec
+        # Dump after EVERY statement: a 14x300s worst case is ~70 min,
+        # and a run cut short by the round clock should still leave a
+        # partial artifact (counts are recomputed at the end).
+        json.dump(out, open(OUT, "w"), indent=1)
         print(f"[timeout-rerun] {name}: "
               + ("finished "
                  f"{rec['wall_sec']}s rows={rec.get('oracle_rows')} "
