@@ -16,8 +16,18 @@ favor). Each statement runs in its own subprocess with a kill budget, so
 a hang or crash loses one statement, not the artifact.
 
 Usage: python3 tools/bench_pair.py [sfdir] [out_json] [budget_sec=300]
+                                   [small_pair_json]
   sfdir    default /root/testdata/sf0.1
   out_json default target/bench_pair.json
+  small_pair_json  the same round's completed smaller-sf pair artifact
+           (release_gate passes step3's sf0.1 pair to step5): any query
+           whose IN-SUITE growth vs that artifact approaches the scale
+           gate's ceiling is re-measured in a fresh JVM and recorded in
+           spark.isolation, so the gate never fails on a
+           suite-contaminated number without an isolated measurement
+           in the committed artifact (q151 r11: in-suite 2.7s after a
+           heavy neighbor vs 0.58s isolated — the warm-bound variance
+           guard is blind when the warm pass is slow too).
 
 Steps (each logged):
   1. sbt "runMain graft.Bench"        -> target/bench_detail.json
@@ -38,6 +48,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "target/bench_pair.json")
 BUDGET = sys.argv[3] if len(sys.argv) > 3 else "300"
+SMALL_PAIR = sys.argv[4] if len(sys.argv) > 4 else None
+# Growth-probe trigger: 0.8x of scale_gate's 12x ceiling, so any query
+# that could plausibly gate gets an isolated number in the artifact.
+GROWTH_TRIGGER = 9.6
+MIN_SEC = 1.0  # sub-second queries can't move the gate materially
+FLOOR = 0.15   # scale_gate's small-side materiality floor
 
 
 def log(msg):
@@ -94,6 +110,26 @@ def main():
     if os.path.exists(adj_path):
         probes = json.load(open(adj_path)).get("isolation_probes", [])
     probes = [p for p in probes if p in out["spark"]["queries"]]
+    # Growth-triggered probes: with the same round's smaller-sf pair in
+    # hand, any query whose in-suite growth approaches the gate ceiling
+    # is re-measured isolated — the suite-contamination class (q151)
+    # hits the warm pass too, so the in-run variance guard can't see it.
+    if SMALL_PAIR and os.path.exists(SMALL_PAIR):
+        small_q = json.load(open(SMALL_PAIR)).get(
+            "spark", {}).get("queries", {})
+        grown = sorted(
+            n for n, t in out["spark"]["queries"].items()
+            if n not in probes and t >= MIN_SEC
+            and small_q.get(n, 0.0) >= FLOOR
+            and t / small_q[n] > GROWTH_TRIGGER)
+        if grown:
+            log(f"growth-triggered isolation probes (in-suite growth > "
+                f"{GROWTH_TRIGGER}x vs {SMALL_PAIR}): {', '.join(grown)}")
+            probes += grown
+        out["spark"]["isolation_rule"] = (
+            f"explicit adjudications list + any query >= {MIN_SEC}s "
+            f"whose in-suite growth vs {os.path.relpath(SMALL_PAIR, REPO)} "
+            f"exceeds {GROWTH_TRIGGER}x (0.8x of the 12x gate ceiling)")
     if probes:
         log(f"isolation probes (fresh JVM): {', '.join(probes)}")
         txt = run_sbt(f"graft.TimeOne {','.join(probes)} {SF}")
@@ -106,6 +142,7 @@ def main():
                 except ValueError:
                     pass
         out["spark"]["isolation"] = iso
+    if probes or "isolation_rule" in out["spark"]:
         json.dump(out, open(OUT, "w"), indent=1)
 
     log(f"wrote {OUT}")

@@ -233,9 +233,14 @@ def main():
         log=os.path.join(art, "gendata_audit.log")))
 
     # -- 5. bench pair sf1 --------------------------------------------------
+    # Step3's artifact rides along so bench_pair can fresh-JVM-probe any
+    # query whose in-suite growth approaches the scale-gate ceiling: the
+    # gate must never fail on a suite-contaminated number (q151 r11)
+    # without an isolated measurement committed in the same artifact.
     step("step5_bench_pair_sf1", lambda: sh(
         [sys.executable, os.path.join(TOOLS, "bench_pair.py"), a.sf1,
-         os.path.join(art, "bench_pair_sf1.json"), a.budget],
+         os.path.join(art, "bench_pair_sf1.json"), a.budget,
+         os.path.join(art, "bench_pair_sf0.1.json")],
         log=os.path.join(art, "bench_pair_sf1.log")))
 
     # -- 6. scale gate + ratio table ----------------------------------------

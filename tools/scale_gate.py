@@ -126,13 +126,28 @@ def main():
     # that discrepancy belongs to the gate, not prose. Both numbers are
     # printed; the committed artifacts carry both.
     iso_small, iso_big = iso_map(small_p), iso_map(new_p)
-    for n in sorted(set(iso_small) & set(iso_big) & set(new)):
-        if iso_small[n] >= floor:
+    for n in sorted(set(iso_big) & set(new)):
+        if n in iso_small and iso_small[n] >= floor:
             iso_ratio = iso_big[n] / max(iso_small[n], 1e-9)
             print(f"[scale-gate] isolation override: {n} in-suite "
                   f"{new[n]:.1f}x -> isolated {iso_ratio:.1f}x "
                   f"(fresh-JVM TimeOne pair {iso_small[n]:.2f}s -> "
                   f"{iso_big[n]:.2f}s, recorded in both artifacts)")
+            new[n] = iso_ratio
+        elif small.get(n, 0.0) >= floor:
+            # The big side carries a growth-triggered probe the small
+            # artifact predates (bench_pair probes the explicit list at
+            # every sf but growth-triggered ones only where a smaller
+            # pair exists). Dividing the isolated big time by the
+            # IN-SUITE small time is conservative for the ceiling
+            # check: suite-warm caches only deflate the denominator,
+            # so the mixed ratio can overstate growth, never hide it.
+            iso_ratio = iso_big[n] / max(small[n], 1e-9)
+            print(f"[scale-gate] isolation override: {n} in-suite "
+                  f"{new[n]:.1f}x -> isolated-over-in-suite "
+                  f"{iso_ratio:.1f}x (fresh-JVM TimeOne {iso_big[n]:.2f}s "
+                  f"/ in-suite small {small[n]:.2f}s — conservative "
+                  f"denominator, no small-side probe recorded)")
             new[n] = iso_ratio
 
     # Box calibration (informational): measured per-engine machine
