@@ -141,6 +141,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(AhoMatch.injection)
     ext.injectFunction(SimHashPlanes.injection)
     ext.injectFunction(MinHashSigs.injection)
+    ext.injectFunction(CdcChunks.injection)
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

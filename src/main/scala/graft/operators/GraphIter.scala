@@ -62,6 +62,17 @@ object GraphIter {
   case object Eager extends Mode
   case object Chain extends Mode
 
+  /** Persist every frame but run the materializing count() only on the
+    * HEAD frame (r11). The BFS-family loops keep state as
+    * Seq(fresh, settled-union): `fresh` is the frame with two
+    * concurrent downstream consumers and genuinely needs the eager
+    * count, while the union is a pure cache-concat of two
+    * already-materialized caches — its lazy persist is populated by
+    * whichever single-threaded action touches it first. Eager mode
+    * spent a whole extra job per round counting that union (q187: 3
+    * extra jobs, q339: 3 extra jobs over a wider seed-keyed frame). */
+  case object EagerHead extends Mode
+
   def run(init: Seq[DataFrame], rounds: Int, checkpointEvery: Int,
       mode: Mode)(
       step: (Seq[DataFrame], Int) => Seq[DataFrame]): Seq[DataFrame] = {
@@ -88,6 +99,10 @@ object GraphIter {
               val q = f.persist(StorageLevel.MEMORY_AND_DISK)
               q.count(); q
             }
+            sinceCk = p.toList ::: sinceCk; p
+          case EagerHead =>
+            val p = next.map(_.persist(StorageLevel.MEMORY_AND_DISK))
+            p.head.count()
             sinceCk = p.toList ::: sinceCk; p
         }
       }

@@ -1343,7 +1343,14 @@ object TextOps {
     * two-phase rank (range partition + local prefix sums + offset
     * broadcast) — no single-partition window at any step. */
   def suffixArray(docs: DataFrame): DataFrame = {
-      val maxLen = docs.agg(max(length(col("text")))).head().getInt(0)
+      // ONE tiny doc-grain job yields both loop bounds: maxLen caps the
+      // doubling depth and n (= Σ lengths = suffix count, since
+      // posexplode emits one row per character) bounds every dense rank
+      // — the former shape paid a separate full chars.count() pass.
+      val stats = docs
+        .agg(max(length(col("text"))), sum(length(col("text")))).head()
+      val maxLen = stats.getInt(0)
+      val n = stats.getLong(1)
       // Bounded-key seeding: initial rank compares the first k0 = 32
       // characters of each suffix as a fixed-width key built MAP-SIDE
       // (constant bytes per row regardless of doc length — materializing
@@ -1360,12 +1367,15 @@ object TextOps {
           posexplode(split(col("text"), "")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           expr(s"substring(text, pos + 1, $k0)").as("seed_key"))
-      // Each round references `cur` three times (self-join + rank-back),
-      // so without lineage truncation the logical plan grows ~4^rounds —
+      // Each round references `cur` twice (distinct subtree + rank-back),
+      // so without lineage truncation the logical plan grows per round —
       // eager localCheckpoint caps it at one round's depth per iteration
       // (a cluster job would use reliable checkpoint() the same way).
-      val n = chars.count() // suffix count, bounds every dense rank
-      var cur = denseRankBy(chars, Seq("seed_key"), "r")
+      // The seed's distinct-rank count rides the rank's own offset
+      // collect — no separate distinct().count() job.
+      val (seedRanked, seedDistinct) =
+        denseRankBy(chars, Seq("seed_key"), "r")
+      var cur = seedRanked
         .select(col("doc_id"), col("pos"), col("r"))
         .localCheckpoint(true)
       var k = k0
@@ -1388,9 +1398,10 @@ object TextOps {
       // NOT "all ranks unique" — this corpus plants long duplicated spans
       // (the very ones q98/q100 dedup), so identical cross-doc suffixes
       // keep tied ranks at every depth and a uniqueness test would run
-      // the loop to max doc length for nothing.
-      def nRanks(): Long = cur.select("r").distinct().count()
-      var prevRanks = nRanks()
+      // the loop to max doc length for nothing. The count comes FREE
+      // from each rank's own offset collect (r11: the former
+      // distinct().count() probe was a whole extra pass per round).
+      var prevRanks = seedDistinct
       var done = prevRanks == n // seed may already be a total order
       // Per-doc positions are DENSE (posexplode emits every 0..len-1),
       // so "the rank k positions ahead in the same document" is exactly
@@ -1411,12 +1422,12 @@ object TextOps {
           base = base * base
           packLevel += 1
         } else {
-          cur = denseRankBy(paired, Seq("r", "r2"), "nr")
+          val (ranked, nr) = denseRankBy(paired, Seq("r", "r2"), "nr")
+          cur = ranked
             .select(col("doc_id"), col("pos"), col("nr").as("r"))
             .localCheckpoint(true)
           packLevel = 0
           base = nB
-          val nr = nRanks()
           // Uniqueness is also terminal (nr == n: the order is total
           // and no later round can change it) — catching it directly
           // saves the extra pack+dense cycle the stops-growing test
@@ -1434,56 +1445,109 @@ object TextOps {
         .select(col("doc_id"), col("pos"), (col("sa") - 1L).as("rank"))
   }
 
-  /** Distributed dense rank of `df` by `keys`: rank the DISTINCT key
-    * tuples with the two-phase range-partitioned prefix sum (the key set
-    * is at most the row count and usually far smaller), then join the
-    * ranks back — total-order semantics with no single-partition window
-    * and no driver materialization beyond O(#partitions) offsets. */
+  /** Distributed dense rank of `df` by `keys`, plus the DISTINCT-KEY
+    * COUNT for free: rank the DISTINCT key tuples with the two-phase
+    * range-partitioned prefix sum (the key set is at most the row count
+    * and usually far smaller — small enough that AQE turns the
+    * join-back into a broadcast, so the full table pays only the
+    * distinct's map-side-combined exchange), then join the ranks back.
+    * The count comes from the cumsum's own per-partition totals, which
+    * [[orderedCumsum]] already collects driver-side to build offsets —
+    * iterative callers (suffix-array convergence) previously ran a
+    * whole distinct().count() job per round just to observe it.
+    *
+    * (r11 note: a "fused" single-range-pass dense rank over the full
+    * table was tried and MEASURED SLOWER — it forces a range exchange +
+    * two sorts + a _pid hash exchange on the full table, where this
+    * shape's full-table costs are one partial-agg distinct exchange and
+    * a broadcast join-back.) */
   private def denseRankBy(
-      df: DataFrame, keys: Seq[String], out: String): DataFrame = {
-    val ranked = orderedCumsum(
+      df: DataFrame, keys: Seq[String], out: String): (DataFrame, Long) = {
+    val (ranked0, nDistinct) = orderedCumsumWithTotal(
       df.select(keys.map(col): _*).distinct().withColumn("_one", lit(1L)),
       keys, "_one", out)
-      .select((keys.map(col) :+ col(out)): _*)
-    df.join(ranked, keys)
+    val ranked = ranked0.select((keys.map(col) :+ col(out)): _*)
+    (df.join(ranked, keys), nDistinct)
   }
 
   /** Global running total over a total order WITHOUT a single-partition
     * window (the thing Resolve's id assignment also avoids): range-
-    * partition on the order key, partition-LOCAL prefix sums via a
-    * window partitioned by `spark_partition_id()`, then add each
-    * partition's starting offset (one tiny row per partition, collected
-    * and broadcast back — same O(#partitions) driver footprint as
-    * zipWithIndex). Result values depend only on the total order, not
-    * on where the sampled range boundaries land. */
+    * partition on the order key, partition-LOCAL prefix sums, then add
+    * each partition's starting offset (one tiny row per partition,
+    * collected into the driver and shipped back in the task closure —
+    * same O(#partitions) driver footprint as zipWithIndex). Result
+    * values depend only on the total order, not on where the sampled
+    * range boundaries land. */
   def orderedCumsum(
       df: DataFrame, orderCols: Seq[String], valueCol: String,
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    orderedCumsumWithTotal(df, orderCols, valueCol, out)._1
+
+  /** [[orderedCumsum]] plus the GRAND TOTAL of `valueCol`, read off the
+    * per-partition totals the two-phase scheme collects driver-side
+    * anyway — callers that need the sum (e.g. the dense-rank key count
+    * driving suffix-array convergence) get it with zero extra jobs.
+    *
+    * Both passes are NARROW maps over ONE materialized range exchange
+    * (the local prefix sum is a sorted-iterator fold, the offset
+    * lookup a closure map) — the r10 shape ran a window partitioned by
+    * spark_partition_id(), whose hash exchange re-shuffled the entire
+    * table a second time, plus a broadcast join to attach offsets; per
+    * call that was 4 exchange executions and 2 window sorts.
+    *
+    * The eager localCheckpoint between the sort and the two passes is
+    * LOAD-BEARING, twice over: (1) without a parent that requires the
+    * ordering (the old window did; an opaque mapPartitions does not),
+    * the optimizer's EliminateSorts DROPS the sortWithinPartitions and
+    * the fold runs over unsorted rows — observed as a nondeterministic
+    * q304 llr walk; as the checkpoint execution's ROOT the sort cannot
+    * be elided. (2) The totals pass and the output pass are separate
+    * actions; on a live plan each would re-run the range exchange with
+    * freshly-sampled boundaries (RangePartitioner seeds by rdd.id), so
+    * a row near a boundary could land in different partitions in the
+    * two passes and be double-counted against the offsets. Reading
+    * both passes from the same materialized blocks makes the
+    * boundary-consistency guarantee structural instead of assumed.
+    * The fold adds value rows in ascending key order, so emitted
+    * values are bit-identical to the window sum (valueCol is non-null
+    * at every call site; the window form was null-propagating where
+    * this treats null as 0 — no caller passes nulls). */
+  def orderedCumsumWithTotal(
+      df: DataFrame, orderCols: Seq[String], valueCol: String,
+      out: String): (DataFrame, Long) = {
     val ranged = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-      .withColumn("_pid", spark_partition_id())
-    val localW = Window.partitionBy("_pid")
-      .orderBy(orderCols.map(col): _*)
-    val withLocal = ranged
-      .withColumn("_local", sum(col(valueCol)).over(localW))
-    val totals = withLocal.groupBy("_pid")
-      .agg(max("_local").as("_total"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
+      .localCheckpoint(true)
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // pass 1: one (pid, total) row per partition, collected
+    val totals = ranged.mapPartitions { it =>
+      var s = 0L
+      var any = false
+      it.foreach { r => any = true; if (!r.isNullAt(vIdx)) s += r.getLong(vIdx) }
+      if (any) Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+      else Iterator.empty
+    }.collect().sortBy(_._1)
     // pid -> sum of all earlier partitions' totals (robust to gaps
     // from empty partitions)
     val offsets = totals.map(_._1)
       .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = broadcast(
-      totals.map { case (pid, _) => (pid, offsets.getOrElse(pid, 0L)) }
-        .toSeq.toDF("_pid", "_offset"))
-    withLocal.join(offsetDf, Seq("_pid"), "left_outer")
-      .withColumn(out,
-        col("_local") + coalesce(col("_offset"), lit(0L)))
-      .drop("_pid", "_local", "_offset")
+    // pass 2: emit rows with the running total (offset + local fold)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+ org.apache.spark.sql.types.StructField(
+        out, org.apache.spark.sql.types.LongType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val result = ranged.mapPartitions({ it =>
+      var acc = offsets.getOrElse(
+        org.apache.spark.TaskContext.getPartitionId(), 0L)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    })(enc)
+    (result, totals.map(_._2).sum)
   }
 
   /** Per-GROUP running total over a per-group total order — the grouped

@@ -153,9 +153,10 @@ object Wave13Ops {
         .withColumn("hop", lit(0L)))
       // Loop state is BOTH frames — Seq(frontier, settled) — so the
       // settled union rides GraphIter's checkpoint/release discipline
-      // with the frontier (Eager: each round's fresh set has TWO
+      // with the frontier (EagerHead: each round's fresh set has TWO
       // consumers — the settled union and the next anti-join — so it
-      // must materialize before either reads it). A closure-var
+      // must materialize before either reads it; the union itself is a
+      // cache-concat and persists lazily, r11). A closure-var
       // settled (the pre-round-7 shape) grew a lazy union chain whose
       // leaves were the per-round caches: once rounds exceed
       // checkpointEvery, those leaves are localCheckpoint blocks the
@@ -163,7 +164,7 @@ object Wave13Ops {
       // would fail at depth. In-state, settled is checkpointed and
       // re-leafed together with the frontier (GraphIterSpec pins the
       // depth-12 case).
-      val fin = GraphIter.run(Seq(seed, seed), 3, 8, GraphIter.Eager) {
+      val fin = GraphIter.run(Seq(seed, seed), 3, 8, GraphIter.EagerHead) {
         case (Seq(frontier, settled), k) =>
           val fresh = edges
             .join(frontier.select(col("id").as("src")), "src")

@@ -196,15 +196,22 @@ object Wave15Ops {
       GraphIter.run(edges, 3, 8, GraphIter.Chain) { (cur, r) =>
         if (fixed) { buf += ((r.toLong, last.get._1, last.get._2)); cur }
         else {
-          val keep = materialized(cur
+          // persist + count INLINE so each frame's materializing count
+          // doubles as its stat — the former materialized()-then-
+          // count() shape ran 4 jobs per round for 2 numbers (r11)
+          val keep = cur
             .groupBy("src").agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= k)
-            .select(col("src").as("id")))
-          val next = materialized(cur
+            .select(col("src").as("id"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nKeep = keep.count()
+          val next = cur
             .join(keep.select(col("id").as("src")), "src")
-            .join(keep.select(col("id").as("dst")), "dst"))
+            .join(keep.select(col("id").as("dst")), "dst")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nEdges = next.count()
           cur.unpersist()
-          val stats = (keep.count(), next.count())
+          val stats = (nKeep, nEdges)
           keep.unpersist()
           fixed = last.contains(stats)
           last = Some(stats)

@@ -162,21 +162,15 @@ object Wave20Ops {
     // every chunk appearing ≥ 2 times with its duplication stats (the
     // input to a chunk-store sizing / dedup-ratio decision).
     "q223_cdc_chunks" -> ((s, d) => {
-      val cuts = expr(
-        """array_sort(concat(array(1),
-             filter(sequence(2, greatest(2, len - 3)),
-               i -> i <= len - 3 AND
-                 CAST(conv(substring(md5(substring(text, i, 4)), 1, 4),
-                      16, 10) AS BIGINT) % 37 = 0)))""")
+      // cdc_chunks is the native kernel for the former relational cut
+      // expression (array_sort/filter/sequence over md5'd 4-char
+      // windows) — byte-identical chunks, one pass over the document
+      // bytes, zero per-window allocation (see CdcChunks.scala, which
+      // embeds the replaced SQL verbatim; CdcChunksSpec pins
+      // equivalence against that SQL form on mixed ASCII/non-ASCII).
       table(s, d, "documents")
-        .select(col("doc_id"), col("text"),
-          length(col("text")).as("len"))
-        .withColumn("cuts", cuts)
-        .select(col("doc_id"), explode(expr(
-          """zip_with(cuts,
-               concat(slice(cuts, 2, size(cuts) - 1), array(len + 1)),
-               (st, en) -> substring(text, st, en - st))"""))
-          .as("chunk"))
+        .select(col("doc_id"),
+          explode(expr("cdc_chunks(text)")).as("chunk"))
         .groupBy("chunk")
         .agg(count(lit(1)).as("n_occ"),
           countDistinct(col("doc_id")).as("n_docs"))

@@ -43,25 +43,37 @@ object Wave60Ops {
         col("label").cast("long").as("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val perK = Ks.map { k =>
-        val cents = e
-          .select((col("label") % k).as("cid"),
-            posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos").agg(round(avg("x"), 6).as("c"))
-          .groupBy("cid")
-          .agg(expr(
-            "transform(sort_array(collect_list(struct(pos, c))), p -> p.c)")
-            .as("cvec"))
-        e.crossJoin(broadcast(cents))
-          .withColumn("d2", round(
-            dotD("v", "v") - lit(2) * dotD("v", "cvec")
-              + dotD("cvec", "cvec"), 6))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cid"))).as("m"))
-          .select(expr(
-            "CAST(floor(m.d2 * 1000000 + 0.5) AS BIGINT)").as("dm"))
-          .agg(lit(k.toLong).as("k"), sum("dm").as("inertia_micro"))
-      }.reduce(_ unionByName _)
+      // r11: the sweep is STACKED on k instead of 5 separate branches —
+      // one exploded pass computes every k's centroid cells (each
+      // (row, dim) lands in 5 (k, label % k, pos) groups; the per-group
+      // value multiset, and so round(avg, 6), is identical to the
+      // per-k formulation's) and ONE broadcast-scored pass over e does
+      // all 5 assignments with (vec_id, k)-keyed argmin. Total scored
+      // rows are unchanged (n·Σk either way); what drops is 10 passes
+      // over the cached embeddings and ~15 exchanges down to 2 scans +
+      // 4 exchanges — the same plan a production sweep over dozens of
+      // candidate k's needs, where per-k branches would mean a
+      // planning/scheduling blowup.
+      val kArr = array(Ks.map(lit): _*)
+      val cents = e
+        .select(explode(kArr).as("k"), col("label"), col("v"))
+        .select(col("k"), (col("label") % col("k")).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("k", "cid", "pos").agg(round(avg("x"), 6).as("c"))
+        .groupBy("k", "cid")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(pos, c))), p -> p.c)")
+          .as("cvec"))
+      val perK = e.crossJoin(broadcast(cents))
+        .withColumn("d2", round(
+          dotD("v", "v") - lit(2) * dotD("v", "cvec")
+            + dotD("cvec", "cvec"), 6))
+        .groupBy("vec_id", "k")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("k"),
+          expr("CAST(floor(m.d2 * 1000000 + 0.5) AS BIGINT)").as("dm"))
+        .groupBy("k").agg(sum("dm").as("inertia_micro"))
+        .select(col("k").cast("long").as("k"), col("inertia_micro"))
       // Chord rule on the 5-point curve: score(k) ∝ |ΔI_total·(k−k0)
       // − Δk_total·(I−I0)| — integers end to end; ties pick smaller k.
       val ends = perK.agg(

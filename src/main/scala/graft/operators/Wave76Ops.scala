@@ -60,7 +60,7 @@ object Wave76Ops {
       // would reference released localCheckpoint blocks past
       // checkpointEvery rounds (see the q187 comment; GraphIterSpec
       // runs this exact harmonic body 12 rounds deep with O(1) plans).
-      val fin = GraphIter.run(Seq(seed, seed), 3, 8, GraphIter.Eager) {
+      val fin = GraphIter.run(Seq(seed, seed), 3, 8, GraphIter.EagerHead) {
         case (Seq(frontier, settled), k) =>
           val fresh = edges
             .join(frontier.select(col("seed"), col("id").as("src")), "src")
