@@ -26,7 +26,8 @@ object StreamProbe {
       val name = s"probe_$tag"
       val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "8"))
       spark.conf.set(ndKey, noData.toString)
       val ck = s"/dev/shm/graft-probe-$name-${java.util.UUID.randomUUID()}"
       val q = df.writeStream.outputMode(mode).format("memory")

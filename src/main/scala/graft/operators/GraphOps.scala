@@ -104,10 +104,23 @@ object GraphOps {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val stepped = step(comp, adj).persist()
-      val next = jump(stepped).localCheckpoint(true)
+      // TWO (hash-min + path-halving) rounds per driver iteration
+      // (r11): each iteration pays a fixed floor of one checkpoint
+      // job + one probe job regardless of how much halving work it
+      // carries, and on the floor-bound corpus sizes that fixed cost
+      // IS the loop (q217 ran 81 jobs). Doubling the rounds between
+      // probes halves the driver round-trips; the fixpoint test is
+      // unchanged (per-node comp is monotone non-increasing, so an
+      // unchanged sum still means BOTH sub-rounds were no-ops), at
+      // the price of at most one redundant sub-round after
+      // convergence. Monotonicity also keeps the result identical:
+      // the fixpoint of hash-min CC is the per-component minimum
+      // whatever the round grouping.
+      val s1 = step(comp, adj).persist()
+      val s2 = step(jump(s1), adj).persist()
+      val next = jump(s2).localCheckpoint(true)
       val s = probe(next)
-      stepped.unpersist()
+      s1.unpersist(); s2.unpersist()
       // `next` is materialized (eager checkpoint), so the superseded
       // round's checkpoint blocks have no future reader — release them
       // now rather than waiting for the ContextCleaner to GC the

@@ -62,32 +62,49 @@ object Wave14Ops {
     // merge rules with their support.
     "q191_bpe_merges" -> ((s, d) => {
       val byPos = Window.partitionBy("doc_id").orderBy("pos")
-      var toks = materialized(table(s, d, "documents")
+      // Materialization policy (r11): the ONLY action per round is the
+      // argmax probe. It populates that round's persisted `nbr` (the
+      // lead/lag window frame both the probe and the rule application
+      // read — the r10 shape computed the window TWICE per round) and,
+      // en route, the previous round's lazily-persisted `toks`. The
+      // round's rule application stays lazy: the NEXT round's probe
+      // materializes it, and round 3's application is never computed at
+      // all (only the learned rules leave the loop). 7 jobs -> 3.
+      var toks = table(s, d, "documents")
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
           posexplode(filter(split(lower(col("text")), " "), w => w =!= ""))
-            .as(Seq("pos", "t"))))
+            .as(Seq("pos", "t")))
+      var liveNbr: DataFrame = null
       val learned = (1 to 3).map { round =>
         val nbr = toks
           .withColumn("nxt", lead("t", 1).over(byPos))
           .withColumn("prv", lag("t", 1).over(byPos))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val best = nbr
           .filter(col("nxt").isNotNull && col("t") =!= col("nxt"))
           .groupBy("t", "nxt").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("t").asc, col("nxt").asc)
           .limit(1).head() // bounded: the single argmax merge rule
+        // nbr is now populated, so the PREVIOUS round's window frame
+        // (whose only reader was this round's toks) has no future
+        // consumer; this round's toks cache was filled on the way.
+        if (liveNbr != null) liveNbr.unpersist()
+        toks.unpersist() // no-op for round 1's raw frame
+        liveNbr = nbr
         val (x, y, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-        val next = materialized(nbr
+        toks = nbr
           .filter(!coalesce(col("prv") === x && col("t") === y, lit(false)))
           .withColumn("t",
             when(col("t") === x && col("nxt") === y,
               concat(col("t"), lit("~"), col("nxt"))).otherwise(col("t")))
           .withColumn("pos", row_number().over(byPos))
-          .select("doc_id", "pos", "t"))
-        toks.unpersist()
-        toks = next
+          .select("doc_id", "pos", "t")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (round.toLong, x, y, cnt)
       }
+      if (liveNbr != null) liveNbr.unpersist()
+      toks.unpersist() // round 3's application: lazy, never computed
       import s.implicits._
       learned.toDF("round", "left_tok", "right_tok", "pair_count")
     }),
