@@ -69,10 +69,33 @@ object StreamProbe {
     // stateless projection, append: the floor with NO state store at all
     val stateless = streamEvents(spark, sfDir)
       .select(col("event_id"), col("user_id"))
+    // q66 shape: watermarked stream-stream interval join — 4 state
+    // stores per partition, the heaviest per-drain state machinery in
+    // the suite; included so SPARK_GRAFT_STATE_PARTS sweeps measure
+    // the join twins, not just single-store agg/dedup.
+    def ssJoin = {
+      def side(tpe: String, prefix: String) =
+        streamEvents(spark, sfDir)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id"),
+            col("event_id").as(s"${prefix}_id"),
+            timestamp_seconds(expr("ts div 1000000000"))
+              .as(s"${prefix}_time"))
+          .withWatermark(s"${prefix}_time", "1 hour")
+      val clicks = side("click", "click")
+      val purchases = side("purchase", "purchase")
+      clicks.join(purchases,
+        clicks("user_id") === purchases("user_id") &&
+          col("purchase_time") >= col("click_time") &&
+          col("purchase_time") <= col("click_time") +
+            expr("INTERVAL 1 HOUR"))
+        .select(clicks("user_id"), col("click_id"), col("purchase_id"))
+    }
     (1 to 2).foreach { round =>
       drain(s"stateless_r$round", stateless, "append", noData = false)
       drain(s"agg_r$round", agg, "complete", noData = false)
       drain(s"dedup_r$round", dedup, "append", noData = false)
+      drain(s"ssjoin_r$round", ssJoin, "append", noData = false)
     }
     spark.stop()
   }

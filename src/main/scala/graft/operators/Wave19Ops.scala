@@ -90,7 +90,14 @@ object Wave19Ops {
           conv(substring(md5(concat(col("cust").cast("string"), lit("#"),
             col("slot").cast("string"))), 1, 13), 16, 10).cast("long")
             % col("n_supp") + 1)
-      val edges = tradeEdges(s, d)
+      // Raw (cust, supp) pairs, NOT tradeEdges: a LEFT ANTI join is
+      // insensitive to right-side duplicates, so the whole-corpus
+      // DISTINCT exchange tradeEdges pays is pure overhead here (guide
+      // §2.4: remove shuffles outright). Result identical — NOT EXISTS
+      // semantics either way.
+      val edges = table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       cands.join(edges,
           cands("cust") === edges("cust") && cands("cand") === edges("supp"),
           "left_anti")
@@ -157,12 +164,34 @@ object Wave19Ops {
     // S-curve; BandingSpec in Wave19Spec checks it is monotone and
     // pins the analytic 1-(1-s²)² curve within sampling error.
     "q218_lsh_scurve" -> ((s, d) => {
+      // Two per-row kernel cuts, output byte-identical (guide §1.2
+      // step 2):
+      //  1. The UNPERTURBED side's whole pipeline — shingle set, its
+      //     md5 array, and the 4 signature mins — is a function of the
+      //     doc alone, so it is computed ONCE PER DOC above the 9-way
+      //     k-explode instead of once per (doc, k) row (9× cut on half
+      //     the kernel).
+      //  2. md5 runs ONCE per shingle per side; the per-offset
+      //     signature mins are cheap substring folds over the hash
+      //     array (the former shape recomputed the digests for every
+      //     one of the 8 signature expressions). CollapseProject keeps
+      //     the hoisted arrays materialized: an alias consumed by
+      //     multiple non-cheap expressions is not inlined.
+      def shingleSet(c: String) = expr(
+        s"""array_distinct(transform(sequence(0, size($c) - 3),
+            i -> concat_ws(' ', slice($c, i + 1, 3))))""")
+      def sig(c: String, off: Int) = expr(
+        s"array_min(transform($c, h -> substring(h, $off, 8)))")
       val docs = table(s, d, "documents")
         .select(col("doc_id"),
           filter(split(lower(col("text")), " "), w => length(w) > 0)
             .as("t"))
         .filter(col("doc_id") % 5 === 0 && size(col("t")) >= 20)
-        .select(col("doc_id"), col("t"),
+        .withColumn("sa", shingleSet("t"))
+        .withColumn("ha", expr("transform(sa, x -> md5(x))"))
+        .select(col("doc_id"), col("t"), col("sa"),
+          sig("ha", 1).as("a1"), sig("ha", 9).as("a9"),
+          sig("ha", 17).as("a17"), sig("ha", 25).as("a25"),
           explode(sequence(lit(1), lit(9))).as("k"))
       // i sweeps explicit 0-based positions so the Spark and DuckDB
       // lambdas agree exactly; the salted '?' prefix can never collide
@@ -175,24 +204,19 @@ object Wave19Ops {
                          AS BIGINT) % 10 < k
                        THEN concat('?', element_at(t, i + 1))
                        ELSE element_at(t, i + 1) END)"""))
-      def shingleSet(c: String) = expr(
-        s"""array_distinct(transform(sequence(0, size($c) - 3),
-            i -> concat_ws(' ', slice($c, i + 1, 3))))""")
-      def sig(c: String, off: Int) = expr(
-        s"array_min(transform($c, x -> substring(md5(x), $off, 8)))")
       val scored = perturbed
-        .select(col("doc_id"), col("k"), shingleSet("t").as("sa"),
-          shingleSet("tv").as("sv"))
+        .withColumn("sv", shingleSet("tv"))
         .withColumn("inter",
           size(array_intersect(col("sa"), col("sv"))).cast("long"))
         .withColumn("uni",
           (size(col("sa")) + size(col("sv"))).cast("long") - col("inter"))
+        .withColumn("hv", expr("transform(sv, x -> md5(x))"))
         .select(
           least(lit(9L), expr("(inter * 10) div uni")).as("decile"),
-          when((sig("sa", 1) === sig("sv", 1) &&
-            sig("sa", 9) === sig("sv", 9)) ||
-            (sig("sa", 17) === sig("sv", 17) &&
-              sig("sa", 25) === sig("sv", 25)), 1L).otherwise(0L)
+          when((col("a1") === sig("hv", 1) &&
+            col("a9") === sig("hv", 9)) ||
+            (col("a17") === sig("hv", 17) &&
+              col("a25") === sig("hv", 25)), 1L).otherwise(0L)
             .as("detected"))
       scored.groupBy("decile")
         .agg(count(lit(1)).as("n_pairs"), sum("detected").as("n_detected"))

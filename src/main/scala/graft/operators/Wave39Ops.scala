@@ -38,9 +38,17 @@ object Wave39Ops {
     // by round 2). Everything shuffles on token keys; the per-round
     // rank frame is vocabulary-sized, broadcast onto the edge list.
     "q263_textrank_keywords" -> ((s, d) => {
+      // Tokenized corpus feeds TWO consumers (bigram adjacency + vocab
+      // counts) with no shared exchange to reuse — eager persist so
+      // the scan+tokenize pass runs once, not once per consumer (guide
+      // §1.2 step 1). Released at the harness boundary per the
+      // GraftSession.releaseQueryCaches cache-lifetime contract.
       val toks = table(s, d, "documents")
         .withColumn("tokens", words(col("text")))
         .filter(size(col("tokens")) >= 2)
+        .select(col("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toks.count()
       val adj = toks.select(explode(expr(
           """transform(sequence(0, size(tokens) - 2),
              i -> struct(element_at(tokens, i + 1) AS a,

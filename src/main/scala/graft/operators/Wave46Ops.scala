@@ -80,13 +80,21 @@ object Wave46Ops {
       val nat = base.groupBy("r_name", "n_name")
         .agg(kmv(col("hv")).as("arr"), countDistinct("ck").as("exact"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val regExact = base.groupBy("r_name")
-        .agg(countDistinct("ck").as("exact"))
+      // The exact audit counts roll up ADDITIVELY from the nation
+      // level: ck → nation is functional (orders ⋈ customer ⋈ nation
+      // gives every custkey exactly one n_name), so the per-nation
+      // distinct-ck sets partition the per-region and global ones —
+      // sum(exact) over nat IS countDistinct(ck) per region / global.
+      // The former shape re-aggregated the whole corpus once per level
+      // (two extra full countDistinct exchanges over base); now only
+      // the nation pass touches the corpus, mirroring how the KMV
+      // sketches themselves roll up (guide §2.4). Values identical.
+      val regExact = nat.groupBy("r_name").agg(sum("exact").as("exact"))
       val reg = nat.select(col("r_name"), explode(col("arr")).as("hv"))
         .groupBy("r_name").agg(kmv(col("hv")).as("arr"))
         .join(broadcast(regExact), "r_name")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val globExact = base.agg(countDistinct("ck").as("exact"))
+      val globExact = regExact.agg(sum("exact").as("exact"))
       val glob = reg.select(explode(col("arr")).as("hv"))
         .agg(kmv(col("hv")).as("arr"))
         .crossJoin(broadcast(globExact))

@@ -32,23 +32,30 @@ object Wave54Ops {
     // alongside another is redundant; a combination like
     // (exact=false, near=true) sizes what MinHash uniquely catches.
     "q295_dedup_method_agreement" -> ((s, d) => {
-      val docs = table(s, d, "documents").select(col("doc_id"))
+      // Exact and SimHash flags as COUNT windows over their key instead
+      // of groupBy+left-semi self-joins: the former shape scanned the
+      // corpus twice per signal (once for the counts, once for the semi
+      // probe) and q48 twice; a window computes "does my key repeat"
+      // in the signal's one key-partitioned shuffle (guide §2.4). The
+      // isNotNull guards pin the semi-join's null semantics (a null
+      // key never matched itself, while a window would group nulls).
+      // Flag sets — and so the 8-row rollup — are identical.
+      import org.apache.spark.sql.expressions.Window
       val texts = table(s, d, "documents")
         .select(col("doc_id"), md5(col("text")).as("th"))
       val exactDocs = texts
-        .join(texts.groupBy("th").agg(count(lit(1)).as("n"))
-          .filter(col("n") > 1), Seq("th"), "left_semi")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("th")))
+        .filter(col("n") > 1 && col("th").isNotNull)
         .select(col("doc_id")).withColumn("e", lit(1L))
       val nearDocs = TextOps.verifiedJaccardPairs(s, d)
         .filter(col("jac_ppm") >= 500000L)
         .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .distinct().withColumn("nf", lit(1L))
-      val sims = TextOps.queries("q48_simhash")(s, d)
-      val simDocs = sims
-        .join(sims.groupBy("simhash").agg(count(lit(1)).as("n"))
-          .filter(col("n") > 1), Seq("simhash"), "left_semi")
+      val simDocs = TextOps.queries("q48_simhash")(s, d)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("simhash")))
+        .filter(col("n") > 1 && col("simhash").isNotNull)
         .select(col("doc_id")).withColumn("sf", lit(1L))
-      docs
+      table(s, d, "documents").select(col("doc_id"))
         .join(exactDocs, Seq("doc_id"), "left_outer")
         .join(nearDocs, Seq("doc_id"), "left_outer")
         .join(simDocs, Seq("doc_id"), "left_outer")

@@ -28,9 +28,21 @@ object Wave70Ops {
     // phrase-search serving shape where the postings list is the
     // shuffled unit, never the documents.
     "q327_phrase_occurrences" -> ((s, d) => {
+      // Pass 1 (argmax) explodes shingles as before, over an eagerly
+      // persisted tokenized corpus; pass 2 is now MAP-ONLY — each
+      // doc's occurrence positions of the single top phrase fall out
+      // of one array filter over its cached tokens, replacing the
+      // former re-tokenize + re-explode + broadcast join + groupBy
+      // (the per-doc grain already exists, so the explode-then-regroup
+      // paid a corpus-sized shuffle for nothing — guide §2.4). Output
+      // identical: n_occ = |matches|, first_pos = first match index
+      // (filter preserves the ascending sequence order).
       val toks = table(s, d, "documents")
         .withColumn("t", words(col("text")))
         .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), col("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toks.count()
       val sh = toks.select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, size(t) - 3),
            i -> concat_ws(' ', slice(t, i + 1, 3)))"""))
@@ -38,11 +50,16 @@ object Wave70Ops {
       val top = sh.groupBy("shingle").agg(count(lit(1)).as("n_total"))
         .orderBy(col("n_total").desc, col("shingle")).limit(1)
         .select(col("shingle").as("phrase"), col("n_total"))
-      sh.join(broadcast(top), col("shingle") === col("phrase"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_occ"),
-          min("pos").cast("long").as("first_pos"),
-          max("n_total").as("n_total"))
+      toks.crossJoin(broadcast(top))
+        .select(col("doc_id"), expr(
+          """filter(sequence(0, size(t) - 3),
+             i -> concat_ws(' ', slice(t, i + 1, 3)) = phrase)""")
+          .as("hits"), col("n_total"))
+        .filter(size(col("hits")) > 0)
+        .select(col("doc_id"),
+          size(col("hits")).cast("long").as("n_occ"),
+          element_at(col("hits"), 1).cast("long").as("first_pos"),
+          col("n_total"))
     }),
 
     // ---- q328: bitmap-index audience intersections ---------------------

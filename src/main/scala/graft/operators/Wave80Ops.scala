@@ -55,34 +55,54 @@ object Wave80Ops {
     // "is the star schema actually closed" report run before any
     // dimensional rollup is trusted.
     "q348_fk_integrity_report" -> ((s, d) => {
-      def edge(name: String, child: DataFrame, key: String,
-          parent: DataFrame, pkey: String): DataFrame = {
-        val c = child.select(col(key).cast("long").as("k"))
-        val orphans = c.join(
-          parent.select(col(pkey).cast("long").as("k")).distinct(),
-          Seq("k"), "left_anti")
-        c.agg(count(lit(1)).as("n_child"))
-          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
-          .select(lit(name).as("fk_edge"), col("n_child"),
-            col("n_orphans"),
-            expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+      // ONE pass per CHILD table, not per FK edge: the child scans
+      // once, left-joins each referenced parent's DISTINCT key set,
+      // and a single conditional aggregation counts rows and per-edge
+      // misses; the per-edge report rows unpivot from that one
+      // aggregate row. The former shape ran an anti-join branch plus
+      // two aggregates PER EDGE — lineitem alone was scanned three
+      // times (guide §1.2 step 1). Counts identical: a left-join miss
+      // against a distinct parent key set IS the anti-join membership
+      // test (null child keys miss in both shapes).
+      def pkeys(t: String, k: String, as: String) = table(s, d, t)
+        .select(col(k).cast("long").as(as)).distinct()
+      def unpivot(agg1: DataFrame,
+          edges: Seq[(String, String)]): DataFrame =
+        agg1.select(col("n_child"), explode(array(edges.map {
+          case (e, oc) => struct(lit(e).as("e"), col(oc).as("o"))
+        }: _*)).as("x"))
+          .select(col("x.e").as("fk_edge"), col("n_child"),
+            col("x.o").as("n_orphans"),
+            expr("x.o * 1000000 div n_child").as("orphan_ppm"))
+      def report(child: DataFrame,
+          fks: Seq[(String, String, String, String)]): DataFrame = {
+        // fks: (edgeName, childKey, parentTable, parentKey)
+        val base = child.select(fks.zipWithIndex.map { case (fk, i) =>
+          col(fk._2).cast("long").as(s"fk$i") }: _*)
+        val joined = fks.zipWithIndex.foldLeft(base) {
+          case (df, ((_, _, pt, pk), i)) =>
+            df.join(pkeys(pt, pk, s"pk$i"),
+              col(s"fk$i") === col(s"pk$i"), "left_outer")
+        }
+        val agg1 = joined.agg(count(lit(1)).as("n_child"),
+          fks.indices.map(i => sum(when(col(s"pk$i").isNull, 1L)
+            .otherwise(0L)).as(s"o$i")): _*)
+        unpivot(agg1, fks.zipWithIndex.map { case ((e, _, _, _), i) =>
+          (e, s"o$i") })
       }
-      val li = table(s, d, "lineitem")
       Seq(
-        edge("lineitem->orders", li, "l_orderkey",
-          table(s, d, "orders"), "o_orderkey"),
-        edge("lineitem->part", li, "l_partkey",
-          table(s, d, "part"), "p_partkey"),
-        edge("lineitem->supplier", li, "l_suppkey",
-          table(s, d, "supplier"), "s_suppkey"),
-        edge("orders->customer", table(s, d, "orders"), "o_custkey",
-          table(s, d, "customer"), "c_custkey"),
-        edge("customer->nation", table(s, d, "customer"), "c_nationkey",
-          table(s, d, "nation"), "n_nationkey"),
-        edge("supplier->nation", table(s, d, "supplier"), "s_nationkey",
-          table(s, d, "nation"), "n_nationkey"),
-        edge("nation->region", table(s, d, "nation"), "n_regionkey",
-          table(s, d, "region"), "r_regionkey"))
+        report(table(s, d, "lineitem"), Seq(
+          ("lineitem->orders", "l_orderkey", "orders", "o_orderkey"),
+          ("lineitem->part", "l_partkey", "part", "p_partkey"),
+          ("lineitem->supplier", "l_suppkey", "supplier", "s_suppkey"))),
+        report(table(s, d, "orders"), Seq(
+          ("orders->customer", "o_custkey", "customer", "c_custkey"))),
+        report(table(s, d, "customer"), Seq(
+          ("customer->nation", "c_nationkey", "nation", "n_nationkey"))),
+        report(table(s, d, "supplier"), Seq(
+          ("supplier->nation", "s_nationkey", "nation", "n_nationkey"))),
+        report(table(s, d, "nation"), Seq(
+          ("nation->region", "n_regionkey", "region", "r_regionkey"))))
         .reduce(_ unionByName _)
     }))
 

@@ -48,17 +48,34 @@ object Wave81Ops {
     // tokenized row — no re-scan, no per-occurrence string search).
     // The "show me the hits" serving shape of a concordance/search UI.
     "q350_kwic_contexts" -> ((s, d) => {
+      // Pass 1 (argmax phrase) explodes shingles over an eagerly
+      // persisted tokenized corpus — and no longer drags each doc's
+      // FULL token array through the explode (the old sh carried `t`
+      // on every shingle row just so the join survivors could build
+      // contexts). Pass 2 is MAP-ONLY: each doc's hit positions fall
+      // out of one array filter over its cached tokens, replacing the
+      // re-tokenize + re-explode + broadcast join (guide §2.3: don't
+      // ship payloads through stages that only need keys). Rows
+      // identical: filter preserves the ascending position order and
+      // the context expression is unchanged.
       val toks = table(s, d, "documents")
         .withColumn("t", TextOps.words(col("text")))
         .filter(size(col("t")) >= 3)
-      val sh = toks.select(col("doc_id"), col("t"), posexplode(expr(
+        .select(col("doc_id"), col("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toks.count()
+      val sh = toks.select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, size(t) - 3),
            i -> concat_ws(' ', slice(t, i + 1, 3)))"""))
         .as(Seq("pos", "shingle")))
       val top = sh.groupBy("shingle").agg(count(lit(1)).as("n_total"))
         .orderBy(col("n_total").desc, col("shingle")).limit(1)
         .select(col("shingle").as("phrase"))
-      sh.join(broadcast(top), col("shingle") === col("phrase"))
+      toks.crossJoin(broadcast(top))
+        .select(col("doc_id"), col("t"), col("phrase"), explode(expr(
+          """filter(sequence(0, size(t) - 3),
+             i -> concat_ws(' ', slice(t, i + 1, 3)) = phrase)"""))
+          .as("pos"))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("phrase"),
           expr("""array_join(slice(t, greatest(1, pos - 2),

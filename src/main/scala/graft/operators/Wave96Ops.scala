@@ -51,6 +51,12 @@ object Wave96Ops {
           expr("CAST(floor(l_quantity) AS BIGINT)").as("q"))
       val h = lines.groupBy("brand", "unit_c")
         .agg(sum("q").as("w"), count(lit(1)).as("c"))
+      // Per-brand totals as whole-partition window sums riding the SAME
+      // brand exchange+sort the running sums need — the former separate
+      // groupBy(brand) aggregate + broadcast join re-aggregated h and
+      // paid a join for values the window pass already has in hand
+      // (guide §2.4: two operations keyed the same way share one
+      // exchange). Integer sums — identical values either way.
       val cum = h
         .withColumn("cw", sum("w").over(
           Window.partitionBy("brand").orderBy("unit_c")
@@ -58,8 +64,8 @@ object Wave96Ops {
         .withColumn("cc", sum("c").over(
           Window.partitionBy("brand").orderBy("unit_c")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .join(broadcast(h.groupBy("brand")
-          .agg(sum("w").as("tw"), sum("c").as("tc"))), "brand")
+        .withColumn("tw", sum("w").over(Window.partitionBy("brand")))
+        .withColumn("tc", sum("c").over(Window.partitionBy("brand")))
       cum.groupBy("brand")
         .agg(max("tc").as("n_lines"), max("tw").as("total_qty"),
           min(when(col("cw") * 2 >= col("tw"), col("unit_c")))

@@ -130,23 +130,29 @@ object Wave99Ops {
             val signs = array(planeSigns(j).map(v => lit(v)): _*)
             round(fdot(col("embedding"), signs), 6).as(s"p$j")
           }: _*)
+      // Norms are PER-VECTOR, so compute sqrt(<v,v>) once per vector
+      // before the bucket self-join — the former shape recomputed both
+      // self-dots for EVERY candidate pair, tripling the pair stage's
+      // dot-product work (guide §1.2 step 1: don't recompute what a
+      // cheaper grain already has). Same IEEE ops per pair (sqrt then
+      // multiply, round at the end) — cos_r is bit-identical.
       val bucketed = projected.crossJoin(broadcast(bits))
         .withColumn("bucket", expr((0 until NPlanes).map { j =>
           s"CASE WHEN $j < bits AND p$j >= 0 THEN ${1 << j} ELSE 0 END"
         }.mkString(" + ")))
         .select(col("vec_id"), col("label"), col("embedding"),
+          sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"),
           col("bucket"))
       val a = bucketed.select(col("vec_id").as("a_id"),
         col("label").as("a_label"), col("embedding").as("a_vec"),
-        col("bucket"))
+        col("nrm").as("a_nrm"), col("bucket"))
       val b = bucketed.select(col("vec_id").as("b_id"),
         col("label").as("b_label"), col("embedding").as("b_vec"),
-        col("bucket"))
+        col("nrm").as("b_nrm"), col("bucket"))
       val pairs = a.join(b, "bucket").filter(col("a_id") =!= col("b_id"))
         .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
           round(fdot(col("a_vec"), col("b_vec")) /
-            (sqrt(fdot(col("a_vec"), col("a_vec"))) *
-              sqrt(fdot(col("b_vec"), col("b_vec")))), 6).as("cos_r"))
+            (col("a_nrm") * col("b_nrm")), 6).as("cos_r"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("a_id")
         .orderBy(col("cos_r").desc, col("b_id").asc)
