@@ -38,14 +38,40 @@ object GraphOps {
     * dominant shuffle at scale. (The comp side still shuffles each
     * round: it is node-sized, the cheap side.)
     */
-  private def adjSelf(edges: DataFrame): DataFrame = {
+  private def adjSelf(edges: DataFrame): (DataFrame, Long, Int) = {
     val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"),
         col("a_id").as("dst")))
-    adj.unionByName(
+    val wide = adj.unionByName(
         adj.select(col("src")).distinct().withColumn("dst", col("src")))
       .repartition(col("src"))
       .persist()
+    // Scale-adaptive cache layout (r11, guide §2): the cached adjacency
+    // sets EVERY round's task count — a graph loop re-scans it once per
+    // hash-min round, and AQE cannot coalesce a cached layout the way
+    // it coalesces a fresh exchange. At the session default (32) a
+    // few-thousand-edge blocking graph (q217's ER pairs, LSH-pair
+    // families) paid ~32 near-empty tasks per job, ~8 jobs per probed
+    // iteration — the measured q217 wall was 75 jobs / 4.2 s of
+    // scheduling gaps with every job under 0.3 s. Re-layout the cache
+    // to ceil(rows / 200k) partitions, capped at the session shuffle
+    // parallelism, so small graphs loop on 1-2 tasks while a 100 TB
+    // edge list keeps today's full fan-out (the cap is the conf a
+    // cluster sizes to executors × cores). The count doubles as the
+    // eager materialization the loop wants anyway; one extra exchange
+    // replaces a 32× per-round task floor.
+    val rows = wide.count()
+    val cap = math.max(1,
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val want = math.max(1L, math.min(cap.toLong, rows / 200000L + 1L)).toInt
+    val sized =
+      if (want < cap) {
+        val s = wide.repartition(want, col("src")).persist()
+        s.count()
+        wide.unpersist()
+        s
+      } else wide
+    (sized, rows, want)
   }
 
   private def nodesOf(adj: DataFrame): DataFrame =
@@ -60,7 +86,7 @@ object GraphOps {
     * to-convergence variant for arbitrary graphs. */
   def connectedComponentsFixed(
       edges: DataFrame, rounds: Int): DataFrame = {
-    val adj = adjSelf(edges)
+    val (adj, _, _) = adjSelf(edges)
     (1 to rounds).foldLeft(nodesOf(adj))((c, _) => step(c, adj))
   }
 
@@ -98,7 +124,31 @@ object GraphOps {
     // right trade for a convergence loop (re-derivable on loss); a
     // 1000-executor deployment with long jobs would point
     // spark.checkpoint.dir at reliable storage and use checkpoint().
-    val adj = adjSelf(edges)
+    val (adj, adjRows, adjParts) = adjSelf(edges)
+    // Small-graph regime (r11, guide §1.2 step 1: fewer driver round
+    // trips): every probed iteration's checkpoint action is split by
+    // AQE into one stage-job per exchange (~8 near-empty jobs per
+    // iteration measured on q217 AFTER the adjacency was sized — 77
+    // jobs, 3.9 s of scheduling gaps, every job < 0.05 s). When the
+    // measured adjacency is small, run the loop's INTERNAL actions
+    // with AQE off and the shuffle parallelism pinned to the sized
+    // cache layout: same physical work, one job per action instead of
+    // one per exchange. A big graph (≥ cap partitions) keeps AQE —
+    // there coalescing/skew handling earn their stage-jobs. Conf is
+    // restored before returning; the result frame is already
+    // materialized (eager checkpoint), so no caller action sees the
+    // modified session. Results are layout-independent either way.
+    val spark = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val smallGraph = adjRows < 5000000L
+    val prevAqe = spark.conf.get(aqeKey)
+    val prevParts = spark.conf.get(partsKey)
+    if (smallGraph) {
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(partsKey, adjParts.toString)
+    }
+    try {
     var comp = nodesOf(adj).localCheckpoint(true)
     var prevSum = probe(comp)
     var rounds = 0
@@ -135,6 +185,12 @@ object GraphOps {
     }
     adj.unpersist()
     comp
+    } finally {
+      if (smallGraph) {
+        spark.conf.set(aqeKey, prevAqe)
+        spark.conf.set(partsKey, prevParts)
+      }
+    }
   }
 
   val queries: Map[String, Q] = Map(

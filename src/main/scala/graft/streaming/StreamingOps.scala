@@ -54,10 +54,11 @@ object StreamingOps {
     * and every micro-batch pays a per-partition state commit. The
     * local test streams carry thousands of rows, where the session
     * default (32) means the commit overhead dominates the data work —
-    * so size state partitions to the stream (8 here), exactly the
-    * sizing decision a production deployment makes per expected key
-    * cardinality. Restored after the drain so batch queries keep the
-    * session setting.
+    * so size state partitions to the stream (4 here, measured best of
+    * {8,4,2} on every stateful drain shape; SPARK_GRAFT_STATE_PARTS
+    * overrides), exactly the sizing decision a production deployment
+    * makes per expected key cardinality. Restored after the drain so
+    * batch queries keep the session setting.
     *
     * Checkpoint placement: an AvailableNow drain's checkpoint has no
     * durability value — the query runs to completion and the result is
@@ -86,7 +87,16 @@ object StreamingOps {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNd = spark.conf.getOption(ndKey)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4 state partitions by default (r11: the StreamProbe sweep over
+    // {8,4,2} measured every stateful drain shape ~30-40% faster at 4
+    // — warm stream-stream join 2.42 → 1.63 s, agg 1.54 → 1.00, dedup
+    // 1.02 → 0.66 — and 2 within noise of 4; the per-partition commit
+    // machinery dominates at these key cardinalities, ~7.5k keys per
+    // stream). Env-overridable so a deployment sizes it to expected
+    // key cardinality / executor fan-out, the same per-cardinality
+    // decision documented above.
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "4"))
     spark.conf.set(ndKey, noDataBatch.toString)
     val shm = java.nio.file.Paths.get("/dev/shm")
     val ckBase =
