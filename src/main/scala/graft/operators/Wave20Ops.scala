@@ -130,21 +130,22 @@ object Wave20Ops {
       // NOT persisted: ReuseExchange already shares the distinct's
       // shuffle across the 3 consumers; an explicit persist measured
       // SLOWER (2.3 → 2.8 s) — the cache write outweighs the reuse.
+      // Size + name ride ONE 11-row broadcast per pair side (r11): the
+      // former four broadcast joins (sizes ×2, names ×2) each paid a
+      // broadcast-build job + join stage on a ≤55-row frame — pure
+      // job-count floor (guide §1.2 step 1). Same lookup values.
       val sizes = vals.groupBy("cid").agg(count(lit(1)).as("n"))
-      val names = broadcast(sortedNames.zipWithIndex
-        .map { case (n, i) => (i, n) }.toDF("cid", "col_name"))
+      val names = sortedNames.zipWithIndex
+        .map { case (n, i) => (i, n) }.toDF("cid", "col_name")
+      val meta = sizes.join(names, "cid")
       val a = vals.select(col("cid").as("cid_a"), col("v"))
       val b = vals.select(col("cid").as("cid_b"), col("v"))
       a.join(b, "v").filter(col("cid_a") < col("cid_b"))
         .groupBy("cid_a", "cid_b").agg(count(lit(1)).as("n_inter"))
-        .join(broadcast(sizes.select(col("cid").as("cid_a"),
-          col("n").as("n_a"))), "cid_a")
-        .join(broadcast(sizes.select(col("cid").as("cid_b"),
-          col("n").as("n_b"))), "cid_b")
-        .join(names.select(col("cid").as("cid_a"),
-          col("col_name").as("col_a")), "cid_a")
-        .join(names.select(col("cid").as("cid_b"),
-          col("col_name").as("col_b")), "cid_b")
+        .join(broadcast(meta.select(col("cid").as("cid_a"),
+          col("n").as("n_a"), col("col_name").as("col_a"))), "cid_a")
+        .join(broadcast(meta.select(col("cid").as("cid_b"),
+          col("n").as("n_b"), col("col_name").as("col_b"))), "cid_b")
         .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"),
           col("n_inter"),
           expr("n_inter * 1000000L div least(n_a, n_b)")
