@@ -108,8 +108,16 @@ object Bench {
     // on stdout (for human eyes) and, authoritatively, to
     // target/bench_detail.json where the judge reads it untruncated.
     def r3(v: Double): String = f"$v%.3f"
+    // Full declared names in the contract line (r12): the r11 judge
+    // could not compare per-query times round-over-round because the
+    // truncated keys ("q379") never matched the declared names and the
+    // tail capture cut the map anyway. The metric line now carries the
+    // exact name→sec map the contract states; the authoritative
+    // untruncated copy is target/bench_detail.json (committed per
+    // round under artifacts/), and the LAST line stays the short
+    // map-free total that survives any tail window.
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      "\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val metric =

@@ -12,16 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("plan-audit")
-    .getOrCreate()
+  private lazy val spark = graft.SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   private val sf = "/root/testdata/sf0.001"
 

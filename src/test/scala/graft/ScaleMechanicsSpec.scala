@@ -25,15 +25,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ScaleMechanicsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("scale-mechanics")
-    .getOrCreate()
+  private lazy val spark = graft.SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }

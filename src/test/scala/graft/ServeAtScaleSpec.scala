@@ -20,14 +20,19 @@ class ServeAtScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val servingDir =
     Files.createTempDirectory("graft-serve-out").toFile.getAbsolutePath
 
-  private lazy val spark = GraftSession.builder(Some(4))
-    .master("local[4]")
-    .config("spark.sql.warehouse.dir", warehouse)
-    .config("spark.ui.enabled", "false")
-    .appName("serve-at-scale-spec")
-    .getOrCreate()
+  // Shared test session: the bucketed tables carry an explicit
+  // `option("path", servingDir/...)` and mode overwrite, so only the
+  // metastore ENTRY lands in the shared warehouse — data stays in the
+  // temp dir and reruns overwrite cleanly.
+  private lazy val spark = {
+    val s = graft.SparkTestSession.spark
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s
+  }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   test("bucketed serving layout: built, audited, result-identical") {
     val m = ServeAtScale.run(spark, "/root/testdata/sf0.001",

@@ -21,17 +21,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TimeBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    // deliberately NOT UTC: the boundary must be timezone-free
-    .config("spark.sql.session.timeZone", "America/New_York")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("time-boundary-spec")
-    .getOrCreate()
+  private lazy val spark = graft.SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   // micros since epoch, spanning a DST transition (2020-03-08 US) so a
   // session-tz cast would shift some rows by 3600s and not others

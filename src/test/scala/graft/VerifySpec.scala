@@ -16,15 +16,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class VerifySpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("verify-spec")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = graft.SparkTestSession.spark
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s
+  }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   test("a throwing query writes an .ERROR.json red artifact") {
     val out = Files.createTempDirectory("verify_err").toString

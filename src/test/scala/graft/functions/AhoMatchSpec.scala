@@ -10,18 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class AhoMatchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = {
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("aho-match-spec")
-      .getOrCreate()
+    val s = graft.SparkTestSession.spark
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     GraftFunctions.register(s)
     s
   }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   test("aho_match returns matched patterns in pattern order from SQL") {
     val rows = spark.sql(

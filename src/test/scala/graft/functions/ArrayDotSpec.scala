@@ -11,15 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ArrayDotSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions) // injection path
-    .appName("arraydot-spec")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = graft.SparkTestSession.spark
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s
+  }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   test("matches aggregate(zip_with) bit-for-bit") {
     import spark.implicits._

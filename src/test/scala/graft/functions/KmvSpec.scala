@@ -12,15 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class KmvSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("kmv-spec")
-    .getOrCreate()
+  private lazy val spark = graft.SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   private val k = 64
 

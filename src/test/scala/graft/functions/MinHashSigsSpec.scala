@@ -14,16 +14,9 @@ class MinHashSigsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .withExtensions(new GraftExtensions)
-    .appName("minhash-sigs-spec")
-    .getOrCreate()
+  private lazy val spark = graft.SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   private def words(c: org.apache.spark.sql.Column) =
     filter(split(lower(c), " "), w => w =!= "")

@@ -13,13 +13,7 @@ class SimHashSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("simhash-spec")
-    .getOrCreate()
+  private lazy val spark = graft.SparkTestSession.spark
 
   /** The ORIGINAL relational form: explode tokens, 64 sign-sums. */
   private def relationalPlanes = {
@@ -38,7 +32,7 @@ class SimHashSpec extends AnyFunSuite with BeforeAndAfterAll {
           .as(s"p$j")): _*)
   }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   test("native kernel == relational explode+aggregate on the corpus") {
     val native = graft.Tables.table(spark, sf, "documents")

@@ -7,15 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ApproxSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("approx-spec")
-    .getOrCreate()
+  private lazy val spark = graft.SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   test("native HLL approx_count_distinct within 5% of exact") {
     val r = graft.Tables.table(spark, "/root/testdata/sf0.001", "lineitem")

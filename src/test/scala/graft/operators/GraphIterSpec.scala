@@ -12,15 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraphIterSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("graphiter-spec")
-    .getOrCreate()
+  private lazy val spark = graft.SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   /** Small deterministic multigraph-free edge set: 50 nodes, ring +
     * mod-7 chords, symmetrized and distinct like the production graph

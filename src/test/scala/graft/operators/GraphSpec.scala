@@ -10,15 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("graph-spec")
-    .getOrCreate()
+  private lazy val spark = graft.SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   private def compMap(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

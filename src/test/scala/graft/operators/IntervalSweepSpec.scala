@@ -14,14 +14,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class IntervalSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "7")
-    .config("spark.ui.enabled", "false")
-    .appName("interval-sweep-spec")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = graft.SparkTestSession.spark
+    s.conf.set("spark.sql.shuffle.partitions", "7")
+    s
+  }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   /** Deterministic fixture: 600 islands over 60 users on a dense time
     * axis. Lengths/gaps from modular arithmetic so users collide hard:

@@ -13,14 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OrderedScanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "7")
-    .config("spark.ui.enabled", "false")
-    .appName("ordered-scan-spec")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = graft.SparkTestSession.spark
+    s.conf.set("spark.sql.shuffle.partitions", "7")
+    s
+  }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   /** 400 rows, ~1/7 carriers (t == 0), duplicate x values so the
     * (x, t, uid) tie-break is exercised, long carrier-free stretches so

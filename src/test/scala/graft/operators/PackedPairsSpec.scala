@@ -11,14 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PackedPairsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .appName("packed-pairs-spec")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = graft.SparkTestSession.spark
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s
+  }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   test("enumerates every in-basket pair, packed and order-preserving") {
     val df = spark.sql(

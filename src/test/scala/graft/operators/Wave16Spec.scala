@@ -14,17 +14,11 @@ class Wave16Spec extends AnyFunSuite with BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val spark = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .appName("wave16-spec")
-      .getOrCreate()
+    val s = graft.SparkTestSession.spark
     s
   }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
 

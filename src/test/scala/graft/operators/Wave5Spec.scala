@@ -19,18 +19,12 @@ class Wave5Spec extends AnyFunSuite with BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val spark = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("wave5-spec")
-      .getOrCreate()
+    val s = graft.SparkTestSession.spark
     graft.functions.GraftFunctions.register(s)
     s
   }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   test("q156 salted join: identical to the plain unsalted join") {
     val salted = RelationalOps.queries("q156_salted_join")(spark, sf)

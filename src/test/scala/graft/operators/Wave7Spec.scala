@@ -16,18 +16,12 @@ class Wave7Spec extends AnyFunSuite with BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val spark = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("wave7-spec")
-      .getOrCreate()
+    val s = graft.SparkTestSession.spark
     graft.functions.GraftFunctions.register(s)
     s
   }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   test("q162: rrf_micro is exactly the integer RRF of the carried ranks") {
     val rows = VectorOps.queries("q162_rrf_fusion")(spark, sf).collect()

@@ -20,18 +20,12 @@ class Wave8Spec extends AnyFunSuite with BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val spark = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .appName("wave8-spec")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
+    val s = graft.SparkTestSession.spark
     graft.functions.GraftFunctions.register(s)
     s
   }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   private def executedPlan(name: String): String = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -15,19 +15,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  // Fresh temp dir per JVM: bucketed saveAsTable with an explicit
+  // `path` makes the tables external, so a leftover
+  // spark-warehouse/<table> location from a previous test JVM (the
+  // shared never-stopped session's default warehouse) can never trip
+  // LOCATION_ALREADY_EXISTS on the managed-table create.
   private lazy val warehouse =
     Files.createTempDirectory("graft-warehouse").toFile.getAbsolutePath
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.warehouse.dir", warehouse)
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("bucketing-spec")
-    .getOrCreate()
+  private lazy val spark = graft.SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    spark.sql("DROP TABLE IF EXISTS ch_b")
+    spark.sql("DROP TABLE IF EXISTS ci_b")
+    graft.SparkTestSession.cleanup()
+  }
 
   test("bucketed-by-page_id join runs without a shuffle") {
     import spark.implicits._
@@ -40,9 +42,11 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("page_id", "raw_sha1", "reference_type")
 
     ch.write.mode("overwrite").bucketBy(8, "page_id")
-      .sortBy("page_id").format("parquet").saveAsTable("ch_b")
+      .sortBy("page_id").option("path", s"$warehouse/ch_b")
+      .format("parquet").saveAsTable("ch_b")
     ci.write.mode("overwrite").bucketBy(8, "page_id")
-      .sortBy("page_id").format("parquet").saveAsTable("ci_b")
+      .sortBy("page_id").option("path", s"$warehouse/ci_b")
+      .format("parquet").saveAsTable("ci_b")
 
     val joined = spark.table("ch_b")
       .join(spark.table("ci_b"), Seq("page_id"))

@@ -12,13 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .appName("jdbc-sink-spec")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = graft.SparkTestSession.spark
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s
+  }
 
   private lazy val url = {
     val dir = Files.createTempDirectory("graft-derby").toFile
@@ -26,7 +24,7 @@ class JdbcSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     s"jdbc:derby:${dir.getAbsolutePath};create=true"
   }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = graft.SparkTestSession.cleanup()
 
   test("upsert: insert, COALESCE-merge, survivor rows") {
     import spark.implicits._
