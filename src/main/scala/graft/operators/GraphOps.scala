@@ -38,7 +38,8 @@ object GraphOps {
     * dominant shuffle at scale. (The comp side still shuffles each
     * round: it is node-sized, the cheap side.)
     */
-  private def adjSelf(edges: DataFrame): (DataFrame, Long, Int) = {
+  private def adjSelf(
+      edges: DataFrame, resize: Boolean): (DataFrame, Long, Int) = {
     val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"),
         col("a_id").as("dst")))
@@ -46,6 +47,18 @@ object GraphOps {
         adj.select(col("src")).distinct().withColumn("dst", col("src")))
       .repartition(col("src"))
       .persist()
+    // resize = false (r12): the FIXED-round variant chains all rounds
+    // into ONE caller action — the resize below spent two extra driver
+    // actions (count + re-persist count, ~1.0 s of q139's 2.5 s wall
+    // in JobProbe: two 1-task jobs plus their planning gaps) to shave
+    // near-empty tasks off stages that all live inside that single
+    // job. The convergence loop is the opposite trade: it re-scans the
+    // cache once per probed round as its own job, so the small-graph
+    // task floor dominates there and the resize stays (it also needs
+    // `rows` for the AQE regime decision anyway). Resize=false returns
+    // the lazily-persisted frame (populated by the caller's terminal
+    // action — the r10 shape) and skips both counts.
+    if (!resize) return (wide, -1L, -1)
     // Scale-adaptive cache layout (r11, guide §2): the cached adjacency
     // sets EVERY round's task count — a graph loop re-scans it once per
     // hash-min round, and AQE cannot coalesce a cached layout the way
@@ -86,7 +99,7 @@ object GraphOps {
     * to-convergence variant for arbitrary graphs. */
   def connectedComponentsFixed(
       edges: DataFrame, rounds: Int): DataFrame = {
-    val (adj, _, _) = adjSelf(edges)
+    val (adj, _, _) = adjSelf(edges, resize = false)
     (1 to rounds).foldLeft(nodesOf(adj))((c, _) => step(c, adj))
   }
 
@@ -124,7 +137,7 @@ object GraphOps {
     // right trade for a convergence loop (re-derivable on loss); a
     // 1000-executor deployment with long jobs would point
     // spark.checkpoint.dir at reliable storage and use checkpoint().
-    val (adj, adjRows, adjParts) = adjSelf(edges)
+    val (adj, adjRows, adjParts) = adjSelf(edges, resize = true)
     // Small-graph regime (r11, guide §1.2 step 1: fewer driver round
     // trips): every probed iteration's checkpoint action is split by
     // AQE into one stage-job per exchange (~8 near-empty jobs per
