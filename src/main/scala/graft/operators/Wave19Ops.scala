@@ -124,17 +124,38 @@ object Wave19Ops {
           concat(lower(col("s_name")), lit(" "), lower(col("n_name")))
             .as("nm"),
           expr("CAST(floor(s_acctbal * 100) AS BIGINT)").as("cents"))
-      val variants = recs.select(col("id"), col("nm"), explode(expr(
+      // The variant exchange carries IDS ONLY (r12, guide §2.3: shuffle
+      // keys and metadata, not payloads): the join key is the 8-byte
+      // xxhash64 of the variant string and the record's name does NOT
+      // ride the explode — names are re-attached at the PAIR grain (a
+      // per-id broadcast lookup against the tiny distinct-pair set)
+      // before the exact levenshtein verify. Result-identical by the
+      // FastSS completeness argument: lev(a,b) <= 1 implies a shared
+      // TRUE variant (equal -> nm itself, which array_union keeps;
+      // deletion -> the shorter IS a deletion variant of the longer and
+      // its own nm; substitution -> deleting the substituted position
+      // from both sides yields the same string), so hashing the variant
+      // can only ADD candidates (64-bit collisions), never lose one —
+      // and every candidate, exact or collided, passes the same
+      // levenshtein <= 1 verify that defined the old pair set. At
+      // corpus scale this halves-plus the variant exchange bytes (two
+      // ~30-char strings per row -> 8+8 bytes) and moves the distinct
+      // onto a (long, long) pair key.
+      val variants = recs.select(col("id"), explode(expr(
         """array_union(array(nm), transform(sequence(1, length(nm)),
            i -> concat(substring(nm, 1, i - 1),
                        substring(nm, i + 1, length(nm) - i))))"""
         )).as("variant"))
-      val a = variants.select(col("variant"), col("id").as("a_id"),
-        col("nm").as("a_nm"))
-      val b = variants.select(col("variant"), col("id").as("b_id"),
-        col("nm").as("b_nm"))
-      val pairs = a.join(b, "variant").filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "a_nm", "b_nm").distinct()
+        .select(col("id"), xxhash64(col("variant")).as("vh"))
+      val a = variants.select(col("vh"), col("id").as("a_id"))
+      val b = variants.select(col("vh"), col("id").as("b_id"))
+      val names = recs.select(col("id"), col("nm"))
+      val pairs = a.join(b, "vh").filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .join(broadcast(names.select(col("id").as("a_id"),
+          col("nm").as("a_nm"))), "a_id")
+        .join(broadcast(names.select(col("id").as("b_id"),
+          col("nm").as("b_nm"))), "b_id")
         .filter(levenshtein(col("a_nm"), col("b_nm")) <= 1)
         .select("a_id", "b_id")
       val comp = GraphOps.connectedComponents(pairs)
