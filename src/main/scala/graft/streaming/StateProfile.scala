@@ -60,29 +60,23 @@ object StateProfile {
 
   /** q138: drain the event stream through the stateful processor and
     * select each user's final profile. transformWithState requires the
-    * RocksDB state store provider; set for the stream, restored after
-    * the drain so other streams keep the session default. */
+    * RocksDB state store provider — passed as drain-scoped extraConf,
+    * so it lives only on runToTable's child session and the caller's
+    * session conf is never touched (r12 conf scoping). */
   def streamStateProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    val drained =
-      try {
-        val ds = StreamingOps.streamEvents(s, dir)
-          .select(col("user_id"), col("event_type"),
-            expr("cast(floor(value * 100) as bigint)").as("cents"))
-          .as[ProfileEvent]
-        val out = ds.groupByKey(_.user_id)
-          .transformWithState(new UserProfileProcessor,
-            TimeMode.None(), OutputMode.Update())
-          .toDF()
-        StreamingOps.runToTable(out, "update")
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+    val ds = StreamingOps.streamEvents(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"))
+      .as[ProfileEvent]
+    val out = ds.groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+    val drained = StreamingOps.runToTable(out, "update",
+      extraConf = Map("spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")))
     val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
     drained.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
