@@ -147,22 +147,32 @@ object GraphOps {
     // with AQE off and the shuffle parallelism pinned to the sized
     // cache layout: same physical work, one job per action instead of
     // one per exchange. A big graph (≥ cap partitions) keeps AQE —
-    // there coalescing/skew handling earn their stage-jobs. Conf is
-    // restored before returning; the result frame is already
-    // materialized (eager checkpoint), so no caller action sees the
-    // modified session. Results are layout-independent either way.
+    // there coalescing/skew handling earn their stage-jobs.
+    //
+    // Conf scoping (r12): the regime lives on a `newSession()` CHILD
+    // (same SparkContext, shared cache — the persisted adjacency still
+    // hits — private SQL conf), with the loop's frames re-bound to it
+    // via PlanApi.rebind. The caller's session conf is never touched,
+    // so a concurrent query on the same session cannot observe the
+    // AQE/partitions override (the set/restore-in-`finally` this
+    // replaces was single-thread-safe only). The returned frame is
+    // re-bound to the caller's session; it is already materialized
+    // (eager checkpoint — a LogicalRDD leaf), so nothing downstream
+    // re-enters the child. Results are layout-independent either way.
     val spark = edges.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val partsKey = "spark.sql.shuffle.partitions"
     val smallGraph = adjRows < 5000000L
-    val prevAqe = spark.conf.get(aqeKey)
-    val prevParts = spark.conf.get(partsKey)
-    if (smallGraph) {
-      spark.conf.set(aqeKey, "false")
-      spark.conf.set(partsKey, adjParts.toString)
-    }
-    try {
-    var comp = nodesOf(adj).localCheckpoint(true)
+    val loop =
+      if (smallGraph) {
+        val c = spark.newSession()
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+        c.conf.set("spark.sql.shuffle.partitions", adjParts.toString)
+        c
+      } else spark
+    val adjL =
+      if (smallGraph)
+        org.apache.spark.sql.graft.PlanApi.rebind(adj, loop)
+      else adj
+    var comp = nodesOf(adjL).localCheckpoint(true)
     var prevSum = probe(comp)
     var rounds = 0
     var converged = false
@@ -179,8 +189,8 @@ object GraphOps {
       // convergence. Monotonicity also keeps the result identical:
       // the fixpoint of hash-min CC is the per-component minimum
       // whatever the round grouping.
-      val s1 = step(comp, adj).persist()
-      val s2 = step(jump(s1), adj).persist()
+      val s1 = step(comp, adjL).persist()
+      val s2 = step(jump(s1), adjL).persist()
       val next = jump(s2).localCheckpoint(true)
       val s = probe(next)
       s1.unpersist(); s2.unpersist()
@@ -197,13 +207,8 @@ object GraphOps {
       rounds += 1
     }
     adj.unpersist()
-    comp
-    } finally {
-      if (smallGraph) {
-        spark.conf.set(aqeKey, prevAqe)
-        spark.conf.set(partsKey, prevParts)
-      }
-    }
+    if (smallGraph) org.apache.spark.sql.graft.PlanApi.rebind(comp, spark)
+    else comp
   }
 
   val queries: Map[String, Q] = Map(
